@@ -1,0 +1,293 @@
+"""Matrix-free high-order tet FEM operators, batched for the MXU.
+
+The reference assembles sparse COO stiffness/mass matrices on GPU
+(/root/reference/src/diffelastic/diff_model.py:184-312) and applies K
+either as sparse matmul or through a per-gauss-point stress pipeline
+(`stiff_func`, diff_model.py:314-328).  On TPU we do neither.  Isotropic
+linear elasticity factors the element stiffness exactly as
+
+    K_e = mu * K_e^mu + lambda * K_e^lam,
+
+with material-independent dense blocks (num_tets, 3N, 3N) precomputed once
+from the geometry:
+
+    T[a,i,b,j]      = sum_g w_g B[g,a,i] B[g,b,j]
+    K^lam[(a,i),(b,j)] = T[a,i,b,j]
+    K^mu [(a,i),(b,j)] = delta_ij * sum_p T[a,p,b,p]  +  T[a,j,b,i]
+
+where B (gauss, nodes, 3) are shape-function world-space gradients and w
+the per-(tet, gauss) integration weights (gauss weight x |det A|).  K @ X
+is then two batched dense matmuls plus a `segment_sum` scatter over shared
+nodes — all MXU work, no sparsity, no dynamic shapes.  The mass operator
+uses the reference-element mass matrix Mref (nodes, nodes) scaled by
+rho |det A| per tet (parity: diff_model.py:222-312, mass_matrix.py:9-31).
+
+Everything is a jnp function of `vertices`, so vertex gradients (geometry /
+thickness / morphing tasks) flow through A^-1, |det A| and the element
+blocks automatically.  A `tet_mask` turns padded/invalid elements into
+zero contributions for the static-shape marching-tets pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .quadrature import gauss_tet_quadrature
+from .shape_func import (
+    CORNER_NODES,
+    num_nodes_for_order,
+    shape_function,
+    shape_function_grad,
+)
+
+# dL/dx maps reference-coordinate gradients to barycentric: x = A [L1 L2 L3]^T + v4.
+_DL_DX = np.array(
+    [[1.0, 0, 0], [0, 1, 0], [0, 0, 1], [-1, -1, -1]], dtype=np.float64
+)
+
+
+def inv3x3(A: jax.Array):
+    """Batched closed-form 3x3 (det, inverse) via the adjugate."""
+    a = A[..., 0, 0]
+    b = A[..., 0, 1]
+    c = A[..., 0, 2]
+    d = A[..., 1, 0]
+    e = A[..., 1, 1]
+    f = A[..., 1, 2]
+    g = A[..., 2, 0]
+    h = A[..., 2, 1]
+    i = A[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return det, adj / det[..., None, None]
+
+
+class ElementOps(NamedTuple):
+    """Pytree of precomputed per-element operator data."""
+
+    tets: jax.Array  # (E, N) int32 node indices
+    k_mu: jax.Array  # (E, 3N, 3N)
+    k_lam: jax.Array  # (E, 3N, 3N)
+    mass_scale: jax.Array  # (E,) = |det A| (mass rho applied at matvec time)
+    mref: jax.Array  # (N, N) reference element mass matrix
+    num_vertices: int  # static
+
+    @property
+    def num_tets(self):
+        return self.tets.shape[0]
+
+    @property
+    def nodes_per_tet(self):
+        return self.tets.shape[1]
+
+
+def reference_mass_matrix(order: int, dtype=np.float64) -> np.ndarray:
+    """Mref_ab = int_ref N_a N_b  (nodes, nodes); quadrature order+2 for
+    parity with /root/reference/src/diffelastic/mass_matrix.py:25-31."""
+    pts, wts = gauss_tet_quadrature(order + 2)
+    N = shape_function(pts, order)  # (G, nodes)
+    return (N.T * wts) @ N
+
+
+def shape_grad_table(order: int) -> np.ndarray:
+    """dN/dL @ dL/dx at the quadrature points: (G, nodes, 3) constant."""
+    pts, _ = gauss_tet_quadrature(order + 2)
+    dNdL = shape_function_grad(pts, order)  # (G, nodes, 4)
+    return dNdL @ _DL_DX  # (G, nodes, 3)
+
+
+def build_element_ops(
+    vertices: jax.Array,
+    tets: jax.Array,
+    order: int,
+    dtype=jnp.float32,
+    tet_mask: Optional[jax.Array] = None,
+) -> ElementOps:
+    """Differentiable element-operator construction (jit-safe).
+
+    vertices: (V, 3); tets: (E, N) int; tet_mask: optional (E,) bool/float —
+    masked-out tets contribute exactly zero to both K and M.
+    """
+    order = int(order)
+    n_nodes = num_nodes_for_order(order)
+    if tets.shape[1] != n_nodes:
+        raise ValueError(f"tets has {tets.shape[1]} nodes, order {order} needs {n_nodes}")
+
+    vertices = vertices.astype(dtype)
+    _, wts = gauss_tet_quadrature(order + 2)
+    wts = jnp.asarray(wts, dtype=dtype)  # (G,)
+    dndx_ref = jnp.asarray(shape_grad_table(order), dtype=dtype)  # (G, N, 3)
+
+    corners = tuple(CORNER_NODES[order])
+    c = tets[:, list(corners)]  # (E, 4)
+    v1, v2, v3, v4 = (vertices[c[:, i]] for i in range(4))
+    A = jnp.stack([v1 - v4, v2 - v4, v3 - v4], axis=-1)  # (E, 3, 3)
+    # Closed-form 3x3 det/inverse: batched LU is unsupported for f64 on TPU
+    # and the adjugate form is faster and fully fused anyway.
+    detA, A_inv = inv3x3(A)
+    absdet = jnp.abs(detA)
+
+    # World-space shape gradients per (tet, gauss): B[e,g,a,:] = dndx_ref[g,a,:] @ A_inv[e]
+    B = jnp.einsum("gax,exy->egay", dndx_ref, A_inv)  # (E, G, N, 3)
+    w = wts[None, :] * absdet[:, None]  # (E, G)
+    if tet_mask is not None:
+        w = w * tet_mask.astype(dtype)[:, None]
+
+    T = jnp.einsum("eg,egai,egbj->eaibj", w, B, B)  # (E, N, 3, N, 3)
+    G = jnp.einsum("eapbp->eab", T)  # (E, N, N)
+    eye3 = jnp.eye(3, dtype=dtype)
+    k_mu = jnp.einsum("eab,ij->eaibj", G, eye3) + jnp.einsum("eajbi->eaibj", T)
+    k_lam = T
+
+    E, N = tets.shape
+    mass_scale = absdet if tet_mask is None else absdet * tet_mask.astype(dtype)
+    return ElementOps(
+        tets=tets.astype(jnp.int32),
+        k_mu=k_mu.reshape(E, 3 * N, 3 * N),
+        k_lam=k_lam.reshape(E, 3 * N, 3 * N),
+        mass_scale=mass_scale,
+        mref=jnp.asarray(reference_mass_matrix(order), dtype=dtype),
+        num_vertices=int(vertices.shape[0]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free matvecs (the LOBPCG / Rayleigh-correction hot path)
+# ---------------------------------------------------------------------------
+
+
+def _gather(ops: ElementOps, x: jax.Array):
+    """(3V, k) -> per-element (E, 3N, k)."""
+    k = x.shape[1]
+    xv = x.reshape(ops.num_vertices, 3, k)
+    xe = xv[ops.tets]  # (E, N, 3, k)
+    E, N = ops.tets.shape
+    return xe.reshape(E, 3 * N, k)
+
+
+def _scatter(ops: ElementOps, ye: jax.Array):
+    """per-element (E, 3N, k) -> (3V, k) via segment_sum over shared nodes."""
+    E, threeN, k = ye.shape
+    N = threeN // 3
+    flat = ye.reshape(E * N, 3 * k)
+    out = jax.ops.segment_sum(
+        flat, ops.tets.reshape(-1), num_segments=ops.num_vertices
+    )
+    return out.reshape(ops.num_vertices * 3, k)
+
+
+def k_matvec(ops: ElementOps, x: jax.Array, mu, lam) -> jax.Array:
+    """K @ X for X (3V, k): two batched MXU matmuls + segment_sum."""
+    xe = _gather(ops, x)
+    ye = mu * jnp.einsum("eij,ejk->eik", ops.k_mu, xe) + lam * jnp.einsum(
+        "eij,ejk->eik", ops.k_lam, xe
+    )
+    return _scatter(ops, ye)
+
+
+def m_matvec(ops: ElementOps, x: jax.Array, density) -> jax.Array:
+    """M @ X for X (3V, k)."""
+    k = x.shape[1]
+    xv = x.reshape(ops.num_vertices, 3, k)
+    xe = xv[ops.tets]  # (E, N, 3, k)
+    ye = jnp.einsum("ab,ebik->eaik", ops.mref, xe)
+    ye = ye * (density * ops.mass_scale)[:, None, None, None]
+    E, N = ops.tets.shape
+    return _scatter(ops, ye.reshape(E, 3 * N, k))
+
+
+def k_diag(ops: ElementOps, mu, lam) -> jax.Array:
+    """diag(K) (3V,) — block-Jacobi preconditioner source."""
+    ke_diag = mu * jnp.diagonal(ops.k_mu, axis1=1, axis2=2) + lam * jnp.diagonal(
+        ops.k_lam, axis1=1, axis2=2
+    )  # (E, 3N)
+    return _scatter(ops, ke_diag[:, :, None])[:, 0]
+
+
+def m_diag(ops: ElementOps, density) -> jax.Array:
+    """diag(M) (3V,)."""
+    d = jnp.diagonal(ops.mref)  # (N,)
+    de = d[None, :] * (density * ops.mass_scale)[:, None]  # (E, N)
+    de3 = jnp.repeat(de[:, :, None], 3, axis=2)  # (E, N, 3)
+    E, N = ops.tets.shape
+    return _scatter(ops, de3.reshape(E, 3 * N, 1))[:, 0]
+
+
+def m_lumped(ops: ElementOps, density) -> jax.Array:
+    """Row-sum lumped mass (3V,) — positive, useful for scaling."""
+    rs = ops.mref.sum(axis=1)  # (N,)
+    de = rs[None, :] * (density * ops.mass_scale)[:, None]
+    de3 = jnp.repeat(de[:, :, None], 3, axis=2)
+    E, N = ops.tets.shape
+    return _scatter(ops, de3.reshape(E, 3 * N, 1))[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side sparse assembly (tests + scipy/ARPACK fallback)
+# ---------------------------------------------------------------------------
+
+
+def assemble_scipy(ops: ElementOps, mu: float, lam: float, density: float):
+    """Assemble (K, M) as scipy CSR from the element blocks (host only)."""
+    import scipy.sparse as sp
+
+    tets = np.asarray(ops.tets)
+    E, N = tets.shape
+    ke = mu * np.asarray(ops.k_mu, dtype=np.float64) + lam * np.asarray(
+        ops.k_lam, dtype=np.float64
+    )
+    dof = (tets[:, :, None] * 3 + np.arange(3)[None, None, :]).reshape(E, 3 * N)
+    rows = np.repeat(dof, 3 * N, axis=1).reshape(-1)
+    cols = np.tile(dof, (1, 3 * N)).reshape(-1)
+    nv = ops.num_vertices
+    K = sp.coo_matrix((ke.reshape(-1), (rows, cols)), shape=(3 * nv, 3 * nv)).tocsr()
+
+    mref = np.asarray(ops.mref, dtype=np.float64)
+    scale = density * np.asarray(ops.mass_scale, dtype=np.float64)
+    me = np.einsum("ab,ij->aibj", mref, np.eye(3)).reshape(3 * N, 3 * N)
+    me_all = scale[:, None, None] * me[None]
+    M = sp.coo_matrix(
+        (me_all.reshape(-1), (rows, cols)), shape=(3 * nv, 3 * nv)
+    ).tocsr()
+    K.sum_duplicates()
+    M.sum_duplicates()
+    return K, M
+
+
+class FEMOperators:
+    """Convenience wrapper binding a TetMesh to its element operators."""
+
+    def __init__(self, mesh, dtype=jnp.float32):
+        self.mesh = mesh
+        self.order = mesh.order
+        self.dtype = dtype
+        self.ops = build_element_ops(
+            jnp.asarray(mesh.vertices),
+            jnp.asarray(mesh.tets),
+            mesh.order,
+            dtype=dtype,
+        )
+
+    def k_matvec(self, x, mu, lam):
+        return k_matvec(self.ops, x, mu, lam)
+
+    def m_matvec(self, x, density):
+        return m_matvec(self.ops, x, density)
+
+    @property
+    def num_dof(self):
+        return 3 * self.ops.num_vertices

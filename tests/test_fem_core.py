@@ -1,0 +1,273 @@
+"""Unit tests for quadrature, shape functions, mesh preprocessing, and the
+matrix-free FEM operators — validated against analytic integrals and dense
+numpy assembly (SURVEY.md section 4: shape functions/quadrature vs analytic
+integrals, element matrices vs reference values)."""
+
+import numpy as np
+import pytest
+
+from diffsound_tpu.fem.quadrature import gauss_tet_quadrature
+from diffsound_tpu.fem.shape_func import shape_function, shape_function_grad
+from diffsound_tpu.fem.mesh import TetMesh, cube_tet_mesh
+from diffsound_tpu.fem import assembly
+from diffsound_tpu.fem.material import lame_params
+
+import jax.numpy as jnp
+
+from math import factorial
+
+
+def bary_integral(a, b, c, d):
+    """Exact integral of L1^a L2^b L3^c L4^d over the reference tet:
+    a! b! c! d! * 3! / (a+b+c+d+3)!  (volume = 1/6)."""
+    return (
+        factorial(a)
+        * factorial(b)
+        * factorial(c)
+        * factorial(d)
+        * 6
+        / factorial(a + b + c + d + 3)
+        / 6.0
+    )
+
+
+class TestQuadrature:
+    def test_weights_sum_to_volume(self):
+        for order in (2, 3, 4, 5):
+            _, w = gauss_tet_quadrature(order)
+            assert abs(w.sum() - 1.0 / 6.0) < 1e-12
+
+    def test_monomial_exactness(self):
+        pts, w = gauss_tet_quadrature(4)
+        for exps in [(1, 0, 0, 0), (2, 1, 0, 0), (1, 1, 1, 1), (2, 2, 0, 0), (0, 0, 3, 1)]:
+            val = np.sum(w * np.prod(pts**np.array(exps), axis=1))
+            assert abs(val - bary_integral(*exps)) < 1e-12
+
+
+class TestShapeFunctions:
+    @pytest.mark.parametrize("order", [1, 2, 3])
+    def test_partition_of_unity(self, order):
+        pts, _ = gauss_tet_quadrature(3)
+        N = shape_function(pts, order)
+        np.testing.assert_allclose(N.sum(axis=1), 1.0, atol=1e-12)
+
+    @pytest.mark.parametrize("order", [1, 2, 3])
+    def test_kronecker_delta_at_nodes(self, order):
+        # nodal barycentric coordinates for each order
+        if order == 1:
+            nodes = np.eye(4)
+        elif order == 2:
+            c = np.eye(4)
+            m = lambda i, j: 0.5 * (c[i] + c[j])
+            nodes = np.stack(
+                [c[0], m(0, 1), c[1], m(1, 2), c[2], m(0, 2), m(0, 3), m(1, 3), m(2, 3), c[3]]
+            )
+        else:
+            c = np.eye(4)
+            t = lambda i, j, w: (1 - w) * c[i] + w * c[j]
+            nodes = np.stack(
+                [
+                    c[0], t(0, 1, 1 / 3), t(0, 1, 2 / 3), c[1],
+                    t(1, 2, 1 / 3), t(1, 2, 2 / 3), c[2],
+                    t(2, 0, 1 / 3), t(2, 0, 2 / 3),
+                    (c[0] + c[1] + c[2]) / 3,
+                    t(0, 3, 1 / 3), t(1, 3, 1 / 3), t(2, 3, 1 / 3),
+                    t(0, 3, 2 / 3), t(1, 3, 2 / 3), t(2, 3, 2 / 3),
+                    c[3],
+                    (c[1] + c[2] + c[3]) / 3,
+                    (c[0] + c[2] + c[3]) / 3,
+                    (c[0] + c[1] + c[3]) / 3,
+                ]
+            )
+        N = shape_function(nodes, order)
+        np.testing.assert_allclose(N, np.eye(len(nodes)), atol=1e-12)
+
+    @pytest.mark.parametrize("order", [1, 2, 3])
+    def test_grad_matches_finite_difference(self, order):
+        rng = np.random.default_rng(0)
+        L = rng.dirichlet(np.ones(4), size=5)
+        g = shape_function_grad(L, order)
+        eps = 1e-6
+        for d in range(4):
+            Lp, Lm = L.copy(), L.copy()
+            Lp[:, d] += eps
+            Lm[:, d] -= eps
+            fd = (shape_function(Lp, order) - shape_function(Lm, order)) / (2 * eps)
+            np.testing.assert_allclose(g[:, :, d], fd, atol=1e-6)
+
+
+class TestMesh:
+    def test_cube_mesh_volume(self):
+        m = cube_tet_mesh(3, size=2.0)
+        assert abs(m.volumes().sum() - 8.0) < 1e-10
+
+    def test_high_order_promotion(self):
+        m = cube_tet_mesh(2).to_high_order(2)
+        assert m.order == 2
+        assert m.tets.shape[1] == 10
+        # edge midpoints must be shared between adjacent tets (deduped)
+        n_lin = cube_tet_mesh(2).num_vertices
+        # unique edges of the linear mesh
+        lin = cube_tet_mesh(2)
+        pairs = lin.tets[:, [[0, 1], [1, 2], [0, 2], [0, 3], [1, 3], [2, 3]]].reshape(-1, 2)
+        n_edges = len(np.unique(np.sort(pairs, axis=1), axis=0))
+        assert m.num_vertices == n_lin + n_edges
+        # midpoint positions correct
+        c = m.tets
+        v = m.vertices
+        np.testing.assert_allclose(v[c[:, 1]], 0.5 * (v[c[:, 0]] + v[c[:, 2]]), atol=1e-12)
+        np.testing.assert_allclose(v[c[:, 8]], 0.5 * (v[c[:, 4]] + v[c[:, 9]]), atol=1e-12)
+
+    def test_msh_roundtrip(self, tmp_path):
+        m = cube_tet_mesh(2)
+        path = str(tmp_path / "cube.msh")
+        m.export(path)
+        m2 = TetMesh.from_file(path)
+        assert m2.num_tets == m.num_tets
+        assert abs(m2.volumes().sum() - m.volumes().sum()) < 1e-9
+
+    def test_largest_connected_component(self):
+        a = cube_tet_mesh(1)
+        b = cube_tet_mesh(2)
+        verts = np.concatenate([a.vertices, b.vertices + 10.0])
+        tets = np.concatenate([a.tets, b.tets + a.num_vertices])
+        m = TetMesh(verts, tets).largest_connected_component()
+        assert m.num_tets == b.num_tets
+
+
+def dense_assemble_reference(mesh, mu, lam, density):
+    """Slow per-gauss-point dense assembly, independent of fem.assembly."""
+    from diffsound_tpu.fem.shape_func import CORNER_NODES
+
+    pts, wts = gauss_tet_quadrature(mesh.order + 2)
+    dNdL = shape_function_grad(pts, mesh.order)  # (G, N, 4)
+    dLdx = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, -1, -1]], dtype=np.float64)
+    dndx_ref = dNdL @ dLdx  # (G, N, 3)
+    Nfun = shape_function(pts, mesh.order)  # (G, N)
+
+    V = mesh.num_vertices
+    K = np.zeros((3 * V, 3 * V))
+    M = np.zeros((3 * V, 3 * V))
+    C = np.zeros((3, 3, 3, 3))
+    eye = np.eye(3)
+    C += mu * (np.einsum("ik,jl->ijkl", eye, eye) + np.einsum("il,jk->ijkl", eye, eye))
+    C += lam * np.einsum("ij,kl->ijkl", eye, eye)
+
+    corners = list(CORNER_NODES[mesh.order])
+    for e in range(mesh.num_tets):
+        conn = mesh.tets[e]
+        c = mesh.vertices[conn[corners]]
+        A = np.stack([c[0] - c[3], c[1] - c[3], c[2] - c[3]], axis=-1)
+        absdet = abs(np.linalg.det(A))
+        Ainv = np.linalg.inv(A)
+        B = dndx_ref @ Ainv  # (G, N, 3)
+        n = len(conn)
+        Ke = np.zeros((n, 3, n, 3))
+        Me = np.zeros((n, 3, n, 3))
+        for g in range(len(wts)):
+            w = wts[g] * absdet
+            # K_e[(a,i),(b,k)] = w * B[g,a,j] C[i,j,k,l] B[g,b,l]
+            Ke += w * np.einsum("aj,ijkl,bl->aibk", B[g], C, B[g])
+            Me += w * density * np.einsum("a,b,ik->aibk", Nfun[g], Nfun[g], eye)
+        dof = (conn[:, None] * 3 + np.arange(3)).reshape(-1)
+        K[np.ix_(dof, dof)] += Ke.reshape(3 * n, 3 * n)
+        M[np.ix_(dof, dof)] += Me.reshape(3 * n, 3 * n)
+    return K, M
+
+
+class TestAssembly:
+    @pytest.mark.parametrize("order", [1, 2])
+    def test_matvec_matches_dense_reference(self, order):
+        mesh = cube_tet_mesh(2).to_high_order(order) if order == 2 else cube_tet_mesh(2)
+        mu, lam = lame_params(2.1e7, 0.3)
+        density = 2.7
+        Kd, Md = dense_assemble_reference(mesh, mu, lam, density)
+
+        ops = assembly.build_element_ops(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), order, dtype=jnp.float64
+        )
+        rng = np.random.default_rng(1)
+        X = rng.standard_normal((3 * mesh.num_vertices, 3))
+        np.testing.assert_allclose(
+            np.asarray(assembly.k_matvec(ops, jnp.asarray(X), mu, lam)),
+            Kd @ X,
+            rtol=1e-9,
+            atol=1e-9 * np.abs(Kd @ X).max(),
+        )
+        np.testing.assert_allclose(
+            np.asarray(assembly.m_matvec(ops, jnp.asarray(X), density)),
+            Md @ X,
+            rtol=1e-9,
+            atol=1e-12,
+        )
+
+    def test_scipy_assembly_matches_dense(self):
+        mesh = cube_tet_mesh(2)
+        mu, lam = lame_params(1e6, 0.25)
+        Kd, Md = dense_assemble_reference(mesh, mu, lam, 1.0)
+        ops = assembly.build_element_ops(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), 1, dtype=jnp.float64
+        )
+        K, M = assembly.assemble_scipy(ops, mu, lam, 1.0)
+        np.testing.assert_allclose(K.toarray(), Kd, rtol=1e-9, atol=1e-6)
+        np.testing.assert_allclose(M.toarray(), Md, rtol=1e-9, atol=1e-12)
+
+    def test_diag_helpers(self):
+        mesh = cube_tet_mesh(2)
+        mu, lam = lame_params(1e6, 0.25)
+        ops = assembly.build_element_ops(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), 1, dtype=jnp.float64
+        )
+        K, M = assembly.assemble_scipy(ops, mu, lam, 1.3)
+        np.testing.assert_allclose(
+            np.asarray(assembly.k_diag(ops, mu, lam)), K.diagonal(), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(assembly.m_diag(ops, 1.3)), M.diagonal(), rtol=1e-9
+        )
+
+    def test_tet_mask_zeroes_contribution(self):
+        mesh = cube_tet_mesh(2)
+        sub = TetMesh(mesh.vertices, mesh.tets[:20], order=1)
+        mu, lam = lame_params(1e6, 0.25)
+        mask = np.zeros(mesh.num_tets)
+        mask[:20] = 1.0
+        ops_masked = assembly.build_element_ops(
+            jnp.asarray(mesh.vertices),
+            jnp.asarray(mesh.tets),
+            1,
+            dtype=jnp.float64,
+            tet_mask=jnp.asarray(mask),
+        )
+        ops_sub = assembly.build_element_ops(
+            jnp.asarray(sub.vertices), jnp.asarray(sub.tets), 1, dtype=jnp.float64
+        )
+        rng = np.random.default_rng(2)
+        X = jnp.asarray(rng.standard_normal((3 * mesh.num_vertices, 2)))
+        np.testing.assert_allclose(
+            np.asarray(assembly.k_matvec(ops_masked, X, mu, lam)),
+            np.asarray(assembly.k_matvec(ops_sub, X, mu, lam)),
+            rtol=1e-9,
+            atol=1e-9,
+        )
+
+    def test_rigid_body_modes_in_kernel(self):
+        """K annihilates translations and infinitesimal rotations."""
+        mesh = cube_tet_mesh(2).to_high_order(2)
+        mu, lam = lame_params(1e6, 0.25)
+        ops = assembly.build_element_ops(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), 2, dtype=jnp.float64
+        )
+        V = mesh.num_vertices
+        # translations
+        T = np.zeros((3 * V, 3))
+        for i in range(3):
+            T[i::3, i] = 1.0
+        # rotations: u = omega x r
+        R = np.zeros((3 * V, 3))
+        r = mesh.vertices
+        for k, omega in enumerate(np.eye(3)):
+            u = np.cross(np.tile(omega, (V, 1)), r)
+            R[:, k] = u.reshape(-1)
+        KX = np.asarray(assembly.k_matvec(ops, jnp.asarray(np.hstack([T, R])), mu, lam))
+        assert np.abs(KX).max() < 1e-6 * mu

@@ -105,10 +105,13 @@ def lobpcg(
         R = AX - BX * theta[None, :]
 
         # Relative residuals (computed before the step, reported at exit).
+        # The scale includes the block's largest Ritz value so that
+        # near-null (rigid-body) modes, where ||A x|| itself is roundoff,
+        # still register as converged.
         rn = jnp.linalg.norm(R, axis=0)
-        scale = jnp.abs(theta) * jnp.linalg.norm(BX, axis=0) + jnp.linalg.norm(
-            AX, axis=0
-        )
+        scale = (jnp.abs(theta) + jnp.max(jnp.abs(theta))) * jnp.linalg.norm(
+            BX, axis=0
+        ) + jnp.linalg.norm(AX, axis=0)
         rel = rn / jnp.maximum(scale, jnp.finfo(dtype).tiny)
 
         W = precond_fn(R)

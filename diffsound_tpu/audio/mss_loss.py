@@ -1,0 +1,168 @@
+"""Multi-scale spectral losses (L1 / RMSE / Sinkhorn-OT).
+
+JAX port-free re-implementation of the reference's MSS loss family
+(/root/reference/src/ddsp/mss_loss.py:15-147):
+
+  * 'l1_loss':   time-weighted L1 on log + linear spectrograms, DC removed
+  * 'rmse_loss': sqrt(MSE) on eps-anchored log spectrograms
+  * 'geomloss':  debiased Sinkhorn over spectrogram-columns-as-point-clouds
+                 with the *predicted damped mode frequencies injected into
+                 the point coordinates* (spec2point, mss_loss.py:19-48) —
+                 this is what gives gradients across large frequency
+                 mismatches in the early phase of material inference.
+
+All scales are evaluated in one vmapped pass where shapes allow; each
+n_fft is its own jit specialization (static shapes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sinkhorn import sinkhorn_divergence
+from .stft import spectrogram
+
+
+def _interp_linear(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) on the last
+    axis: x (..., T) -> (..., size)."""
+    T = x.shape[-1]
+    scale = T / size
+    pos = (np.arange(size) + 0.5) * scale - 0.5
+    pos = np.clip(pos, 0.0, T - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, T - 1)
+    w = jnp.asarray(pos - lo, x.dtype)
+    return x[..., lo] * (1.0 - w) + x[..., hi] * w
+
+
+def weighted_l1(x_pred, x_true):
+    """Time-weighted L1 with DC bin removed (mss_loss.py:50-62)."""
+    T = x_pred.shape[-1]
+    w = 1.0 - jnp.linspace(1.0, 0.9, T, dtype=x_pred.dtype)
+    w = w / jnp.sum(w) * T
+    w = w[None, None, :]
+    return jnp.mean(jnp.abs(x_pred[:, 1:, :] * w - x_true[:, 1:, :] * w))
+
+
+def spec_to_points(
+    spec: jnp.ndarray,
+    freqs: Optional[jnp.ndarray] = None,
+    sample_rate: Optional[float] = None,
+) -> jnp.ndarray:
+    """(B, F, T) spectrogram -> (B, F, 4) point cloud: 3 time-pooled
+    features + normalized frequency position; predicted mode frequencies
+    (B?, M) shift the positions of their +-2 neighbouring bins so optimal
+    transport can move spectral mass toward/away from them
+    (mss_loss.py:19-48).  Features are detached like the reference — the
+    gradient path is through the *positions*."""
+    B, F, T = spec.shape
+    feats = _interp_linear(jax.lax.stop_gradient(spec), 3)  # (B, F, 3)
+    base_pos = jnp.arange(F, dtype=spec.dtype) / F  # (F,)
+    pos = jnp.broadcast_to(base_pos[None, :], (B, F))
+
+    if freqs is not None:
+        f = freqs.reshape(-1).astype(spec.dtype)  # (M,)
+        centers = F / (sample_rate // 2) * f  # fractional bin of each mode
+        # width-2 neighbourhood, outer offsets written first so the center
+        # (w=0) wins on collision (parity with the reference's loop order)
+        for wdt in (2, 1, 0):
+            for sgn in (-1.0, 1.0) if wdt > 0 else (1.0,):
+                tgt = centers + sgn * wdt
+                bins = jnp.floor(tgt).astype(jnp.int32)
+                ok = (bins >= 0) & (bins < F)
+                bins_safe = jnp.clip(bins, 0, F - 1)
+                vals = tgt / F
+                upd = jnp.zeros((F,), spec.dtype).at[bins_safe].set(
+                    jnp.where(ok, vals, 0.0)
+                )
+                mask = jnp.zeros((F,), jnp.bool_).at[bins_safe].set(ok)
+                pos = jnp.where(mask[None, :], upd[None, :], pos)
+
+    return jnp.concatenate([feats, pos[..., None]], axis=-1)  # (B, F, 4)
+
+
+@dataclass(frozen=True)
+class SSSLoss:
+    """Single-scale spectral loss."""
+
+    n_fft: int
+    sample_rate: float
+    alpha: float = 1.0
+    overlap: float = 0.75
+    eps: float = 1e-7
+    loss_type: str = "l1_loss"
+
+    @property
+    def hop(self):
+        return int(self.n_fft * (1 - self.overlap))
+
+    def log_func(self, x):
+        return jnp.log2(x + self.eps) - np.log2(self.eps)
+
+    def log_spec(self, x, scale=1.0):
+        S = spectrogram(x, self.n_fft, self.hop)
+        S = S[..., : int(S.shape[-2] * scale), :]
+        return self.log_func(S)
+
+    def __call__(self, x_pred, x_true, freqs=None, scale=1.0):
+        if self.loss_type == "l1_loss":
+            lin_t = spectrogram(x_true, self.n_fft, self.hop)
+            lin_p = spectrogram(x_pred, self.n_fft, self.hop)
+            log_t = jnp.log2(lin_t + self.eps)
+            log_p = jnp.log2(lin_p + self.eps)
+            return self.alpha * weighted_l1(log_p, log_t) + weighted_l1(lin_p, lin_t)
+
+        if self.loss_type == "rmse_loss":
+            lt = self.log_spec(x_true, scale)
+            lp = self.log_spec(x_pred, scale)
+            return jnp.sqrt(jnp.mean((lp - lt) ** 2))
+
+        if self.loss_type == "geomloss":
+            norm = lambda x: x / (
+                jnp.max(jnp.abs(jax.lax.stop_gradient(x)), axis=-1, keepdims=True)
+                + 1e-7
+            )
+            x_t = norm(x_true)
+            x_p = norm(x_pred)
+            lin_t = spectrogram(x_t, self.n_fft, self.hop)
+            lin_p = spectrogram(x_p, self.n_fft, self.hop)
+            log_t = self.log_spec(x_t, scale) / 40.0
+            log_p = self.log_spec(x_p, scale) / 40.0
+            pts = [
+                (spec_to_points(log_p, freqs, self.sample_rate), spec_to_points(log_t)),
+                (spec_to_points(lin_p, freqs, self.sample_rate), spec_to_points(lin_t)),
+            ]
+            div = jax.vmap(sinkhorn_divergence)
+            loss_log = jnp.sum(div(*pts[0]))
+            loss_lin = jnp.sum(div(*pts[1]))
+            return self.alpha * loss_log + loss_lin
+
+        raise ValueError(f"unknown loss type {self.loss_type}")
+
+
+@dataclass(frozen=True)
+class MSSLoss:
+    """Multi-scale spectral loss over a list of FFT sizes
+    (mss_loss.py:125-147)."""
+
+    n_ffts: Sequence[int]
+    sample_rate: float
+    alpha: float = 1.0
+    overlap: float = 0.75
+    eps: float = 1e-7
+    loss_type: str = "l1_loss"
+
+    def __call__(self, x_pred, x_true, freqs=None, scale=1.0):
+        total = 0.0
+        for n_fft in self.n_ffts:
+            sss = SSSLoss(
+                n_fft, self.sample_rate, self.alpha, self.overlap, self.eps, self.loss_type
+            )
+            total = total + sss(x_pred, x_true, freqs, scale)
+        return total

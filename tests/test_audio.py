@@ -1,0 +1,215 @@
+"""Audio stack tests: STFT parity vs torch, oscillator synthesis vs a
+naive cumsum reference, FFT force convolution, Sinkhorn behavior, MSS loss
+semantics (SURVEY.md section 4: forward audio allclose vs reference)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffsound_tpu.audio.stft import spectrogram
+from diffsound_tpu.audio import oscillator as osc
+from diffsound_tpu.audio.mss_loss import MSSLoss, SSSLoss, spec_to_points
+from diffsound_tpu.audio.sinkhorn import sinkhorn_divergence
+from diffsound_tpu.audio.filtered_noise import FilteredNoise
+from diffsound_tpu.fem.material import Material, MatSet
+
+
+class TestSpectrogram:
+    def test_matches_torch_stft(self):
+        import torch
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 4000)).astype(np.float32)
+        for n_fft in (256, 1024):
+            hop = n_fft // 4
+            ours = np.asarray(spectrogram(jnp.asarray(x), n_fft, hop))
+            xt = torch.from_numpy(x)
+            S = torch.stft(
+                xt,
+                n_fft=n_fft,
+                hop_length=hop,
+                window=torch.hann_window(n_fft),
+                center=True,
+                pad_mode="reflect",
+                return_complex=True,
+            )
+            theirs = (S.abs() ** 2).numpy()
+            np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+class TestSynthesis:
+    def test_constant_modes_match_cumsum_reference(self):
+        """Closed-form synthesis == reference-style inclusive cumsum."""
+        rng = np.random.default_rng(1)
+        A, M, T, sr = 2, 5, 2000, 32000.0
+        freqs = rng.uniform(100, 8000, (A, M))
+        damps = rng.uniform(1, 100, (A, M))
+        amps = rng.uniform(0.1, 1.0, (A, M))
+
+        ours = np.asarray(
+            osc.synth_constant_modes(
+                jnp.asarray(freqs), jnp.asarray(damps), jnp.asarray(amps), T, sr
+            )
+        )
+
+        # naive float64 inclusive-cumsum reference (mirrors the reference's
+        # torch.cumsum semantics, oscillator.py:128-132)
+        d = np.cumsum(np.repeat(damps[:, :, None] / sr, T, axis=2), axis=2)
+        f = np.cumsum(np.repeat(freqs[:, :, None] / sr, T, axis=2), axis=2)
+        ref = (amps[:, :, None] * np.exp(-d) * np.sin(2 * np.pi * f)).sum(axis=1)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_force_convolution(self):
+        rng = np.random.default_rng(2)
+        sig = rng.standard_normal((3, 500))
+        force = rng.standard_normal((3, 40))
+        out = np.asarray(
+            osc.fft_convolve_force(jnp.asarray(sig), jnp.asarray(force))
+        )
+        for a in range(3):
+            ref = np.convolve(sig[a], force[a], mode="full")[:500]
+            np.testing.assert_allclose(out[a], ref, atol=1e-8)
+
+    def test_impulse_force_is_identity(self):
+        rng = np.random.default_rng(3)
+        sig = rng.standard_normal((1, 300))
+        force = np.zeros((1, 50))
+        force[0, 0] = 1.0
+        out = np.asarray(osc.fft_convolve_force(jnp.asarray(sig), jnp.asarray(force)))
+        np.testing.assert_allclose(out, sig, atol=1e-8)
+
+    def test_traditional_oscillator_shapes(self):
+        mat = Material.of(MatSet.Ceramic)
+        bank = osc.TraditionalOscillatorParams(1, 16, 8000, 32000.0, mat)
+        freqs = jnp.linspace(200.0, 8000.0, 16)
+        forces = jnp.zeros((1, 150)).at[0, 0].set(1.0)
+        sig, fd = bank(freqs, forces)
+        assert sig.shape == (1, 8000)
+        assert fd.shape == (16,)
+        assert bool(jnp.all(jnp.isfinite(sig)))
+        # damped freq below undamped
+        assert bool(jnp.all(fd <= freqs + 1e-3))
+
+    def test_trainable_bank_grads(self):
+        mat = Material.of(MatSet.Ceramic)
+        bank = osc.OscillatorBank(2, 8, 1000, 32000.0, mat)
+        params = bank.init_params(jax.random.PRNGKey(0))
+        freqs = jnp.linspace(200.0, 4000.0, 8)
+
+        def loss(p):
+            sig, _ = bank(p, freqs)
+            return jnp.sum(sig**2)
+
+        g = jax.grad(loss)(params)
+        for k, v in g.items():
+            assert bool(jnp.all(jnp.isfinite(v))), k
+        assert float(jnp.abs(g["alpha_logits"]).max()) > 0
+
+    def test_pretrain_damps_converges(self):
+        mat = Material.of(MatSet.Ceramic)
+        bank = osc.OscillatorBank(1, 4, 100, 32000.0, mat)
+        params = bank.init_params(jax.random.PRNGKey(1))
+        params = bank.pretrain_damps(params, steps=800)
+        a = np.asarray(bank.alpha(params))
+        b = np.asarray(bank.beta(params))
+        np.testing.assert_allclose(a, mat.alpha, rtol=0.05)
+        np.testing.assert_allclose(b, mat.beta, rtol=0.05)
+
+
+class TestSinkhorn:
+    def test_self_divergence_zero(self):
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((50, 4)) * 0.3)
+        d = float(sinkhorn_divergence(x, x))
+        assert abs(d) < 1e-5
+
+    def test_positive_and_decreasing_with_alignment(self):
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((40, 2)) * 0.2)
+        y_far = x + jnp.asarray([1.0, 0.0])
+        y_near = x + jnp.asarray([0.1, 0.0])
+        d_far = float(sinkhorn_divergence(x, y_far))
+        d_near = float(sinkhorn_divergence(x, y_near))
+        assert d_far > d_near > 0
+
+    def test_gradient_pulls_toward_target(self):
+        rng = np.random.default_rng(6)
+        y = jnp.asarray(rng.standard_normal((30, 2)) * 0.2)
+
+        def loss(shift):
+            x = y + jnp.stack([shift, jnp.zeros_like(shift)])
+            return sinkhorn_divergence(x, y)
+
+        g = jax.grad(loss)(jnp.asarray(0.5))
+        assert float(g) > 0  # moving back toward the target reduces loss
+
+
+class TestMSSLoss:
+    def test_l1_zero_at_identity(self):
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((1, 2000)).astype(np.float32))
+        loss = MSSLoss([512, 256], 32000.0, loss_type="l1_loss")
+        assert float(loss(x, x)) == 0.0
+        y = x + 0.1
+        assert float(loss(y, x)) > 0
+
+    def test_rmse_loss(self):
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((1, 2000)).astype(np.float32))
+        loss = MSSLoss([256], 32000.0, loss_type="rmse_loss")
+        assert float(loss(x, x)) == 0.0
+
+    def test_spec_to_points_freq_injection(self):
+        spec = jnp.ones((1, 128, 10))
+        pts_plain = spec_to_points(spec)
+        freqs = jnp.asarray([4050.0])
+        pts_freq = spec_to_points(spec, freqs, 32000.0)
+        assert pts_plain.shape == (1, 128, 4)
+        # the +-2 bins around fractional bin 128/16000*4050 = 32.4 carry
+        # shifted (non-lattice) positions
+        moved = np.nonzero(
+            np.asarray(pts_freq[0, :, 3]) != np.asarray(pts_plain[0, :, 3])
+        )[0]
+        assert set(moved) <= {30, 31, 32, 33, 34}
+        assert len(moved) >= 4
+        # the center bin holds the exact fractional position
+        assert abs(float(pts_freq[0, 32, 3]) - 32.4 / 128) < 1e-5
+
+    def test_geomloss_gradient_direction(self):
+        """Gradient w.r.t. predicted mode frequency points toward target."""
+        sr, T = 32000.0, 4000
+        t = (np.arange(T) + 1) / sr
+
+        def tone(f):
+            return jnp.asarray(
+                (np.exp(-20 * t) * np.sin(2 * np.pi * f * t))[None, :].astype(
+                    np.float32
+                )
+            )
+
+        target = tone(2000.0)
+        pred = tone(1200.0)
+        loss = MSSLoss([1024], sr, loss_type="geomloss")
+
+        def f(freq):
+            return loss(pred, target, freqs=freq.reshape(1, 1))
+
+        g = jax.grad(f)(jnp.asarray(1200.0, jnp.float32))
+        # increasing predicted frequency toward 2000 should reduce the loss
+        assert float(g) < 0
+
+
+class TestFilteredNoise:
+    def test_shapes_and_finite(self):
+        fn = FilteredNoise(2, 1000)
+        params = fn.init_params(jax.random.PRNGKey(0))
+        out = fn(params, jax.random.PRNGKey(1))
+        assert out.shape == (2, 1000)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_grad_flows(self):
+        fn = FilteredNoise(1, 500)
+        params = fn.init_params(jax.random.PRNGKey(0))
+        g = jax.grad(lambda p: jnp.sum(fn(p, jax.random.PRNGKey(1)) ** 2))(params)
+        assert float(jnp.abs(g["coeff_bank"]).max()) > 0

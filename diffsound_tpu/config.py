@@ -1,0 +1,32 @@
+"""argparse + JSON config merge, matching the reference's FLAGS pattern
+(identical block in every experiment script, e.g.
+/root/reference/experiments/material_sync_train.py:26-42)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_flags(description: str = "diffsound-tpu", defaults: dict = None, argv=None):
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--config", type=str, default=None, help="Config file")
+    parser.add_argument("-i", "--iter", type=int, default=5000)
+    parser.add_argument("-lr", "--learning-rate", type=float, default=0.01)
+    flags = parser.parse_args(argv)
+
+    if defaults:
+        for k, v in defaults.items():
+            flags.__dict__.setdefault(k, v)
+
+    if flags.config is not None:
+        with open(flags.config) as f:
+            for key, val in json.load(f).items():
+                flags.__dict__[key] = val
+
+    print("Config / Flags:")
+    print("---------")
+    for key, val in flags.__dict__.items():
+        print(key, val)
+    print("---------")
+    return flags

@@ -1,0 +1,259 @@
+"""Synthetic-material inference: recover (E, nu) from modal audio.
+
+Behavioral parity with /root/reference/experiments/material_sync_train.py:
+16 random (init, target) material pairs; ground-truth audio synthesized by
+an order-2 fixed-material model + fixed-table oscillator; the trainable
+model optimizes its material bins so its synthesized audio matches, with
+an early Sinkhorn-OT loss phase (epochs < early_loss_epoch) switching to
+multi-scale L1, Adam + step-decayed LR (reset at the switch), and an
+eigensolve refresh every 15 epochs (warm-started LOBPCG here instead of
+the reference's CPU ARPACK round trip).
+
+exp_mode: 0 ord1/frozen-nu (baseline), 1 ord2/frozen-nu, 2 ord1/learn-nu,
+3 ord2/learn-nu (full DiffSound).
+
+Run: python -m diffsound_tpu.experiments.material_sync --config configs/material_sync_train.json
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..audio.mss_loss import MSSLoss
+from ..audio.oscillator import TraditionalOscillatorParams
+from ..fem.material import Material, MatSet
+from ..fem.mesh import TetMesh
+from ..models.sound_obj import DiffSoundObject, build_model
+from ..utils.logging import MetricLogger
+
+EIGEN_DECOMPOSE_CYCLE = 15
+
+
+def impulse_forces(audio_num: int, force_frame_num: int, dtype=jnp.float32):
+    f = jnp.zeros((audio_num, force_frame_num), dtype)
+    return f.at[:, 0].set(1.0)
+
+
+@dataclass
+class MaterialSyncTask:
+    mesh: TetMesh
+    mode_num: int = 16
+    sample_rate: float = 32000.0
+    frame_num: int = 8000
+    force_frame_num: int = 150
+    exp_mode: int = 3
+    dtype: object = jnp.float32
+    solver: str = "auto"
+
+    def __post_init__(self):
+        self.mesh_order = 2 if self.exp_mode in (1, 3) else 1
+        self.task = "material" if self.exp_mode in (2, 3) else "mat_baseline"
+
+    # -- ground truth -------------------------------------------------------
+
+    def make_gt(self, gt_mat) -> tuple:
+        """Ground-truth audio from an order-2 fixed-material model
+        (material_sync_train.py:103-115)."""
+        gt_model = build_model(
+            mesh=self.mesh, mode_num=self.mode_num, order=2, mat=gt_mat,
+            task="gt", dtype=self.dtype,
+        )
+        eig = gt_model.eigen_decomposition(method=self.solver)
+        freqs = gt_model.get_undamped_freqs({}, eig)
+        gt_osc = TraditionalOscillatorParams(
+            1, self.mode_num, self.frame_num, self.sample_rate, Material.of(gt_mat)
+        )
+        forces = impulse_forces(1, self.force_frame_num, self.dtype)
+        gt_audio, _ = gt_osc(freqs, forces, dtype=self.dtype)
+        return gt_audio, np.asarray(freqs)
+
+    # -- training -----------------------------------------------------------
+
+    def train(
+        self,
+        init_mat,
+        gt_audio,
+        max_epoch: int = 3000,
+        early_loss_epoch: int = 1000,
+        logger: MetricLogger = None,
+        log_every: int = EIGEN_DECOMPOSE_CYCLE,
+        seed: int = 0,
+        pretrain: bool = True,
+        verbose: bool = True,
+        lr_early: float = 5e-3,
+        lr_late: float = 2e-3,
+    ) -> dict:
+        model = build_model(
+            mesh=self.mesh, mode_num=self.mode_num, order=self.mesh_order,
+            mat=init_mat, task=self.task, dtype=self.dtype,
+        )
+        osc = TraditionalOscillatorParams(
+            gt_audio.shape[0], self.mode_num, self.frame_num, self.sample_rate,
+            Material.of(init_mat),
+        )
+        forces = impulse_forces(gt_audio.shape[0], self.force_frame_num, self.dtype)
+
+        early_loss = MSSLoss([2048, 1024], self.sample_rate, loss_type="geomloss")
+        late_loss = MSSLoss(
+            [1024, 512, 256, 128, 64], self.sample_rate, loss_type="l1_loss"
+        )
+        rmse_loss = MSSLoss(
+            [1024, 512, 256, 128, 64], self.sample_rate, loss_type="rmse_loss"
+        )
+
+        params = model.init_params(jax.random.PRNGKey(seed), pretrain=pretrain)
+
+        def make_opt(lr, gamma):
+            sched = optax.exponential_decay(
+                lr, transition_steps=100, decay_rate=gamma, staircase=True
+            )
+            return optax.adam(sched)
+
+        opt = make_opt(lr_early, 0.9)
+        opt_state = opt.init(params)
+
+        def loss_with(loss_fn, params, eig):
+            freqs = model.get_undamped_freqs(params, eig)
+            sig, damped = osc(freqs, forces, dtype=self.dtype)
+            return loss_fn(sig, gt_audio, damped, 1.0)
+
+        @jax.jit
+        def step_early(params, opt_state, eig):
+            loss, g = jax.value_and_grad(
+                lambda p: loss_with(early_loss, p, eig)
+            )(params)
+            updates, opt_state = opt.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        opt2 = make_opt(lr_late, 0.95)
+
+        @jax.jit
+        def step_late(params, opt_state, eig):
+            loss, g = jax.value_and_grad(
+                lambda p: loss_with(late_loss, p, eig)
+            )(params)
+            updates, opt_state = opt2.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        rmse_eval = jax.jit(
+            lambda p, eig: loss_with(rmse_loss, p, eig)
+        )
+
+        eig = None
+        history = []
+        t_start = time.perf_counter()
+        for epoch in range(max_epoch):
+            if epoch % EIGEN_DECOMPOSE_CYCLE == 0:
+                eig = model.eigen_decomposition(params, prev=eig, method=self.solver)
+            if epoch == early_loss_epoch:
+                opt_state = opt2.init(params)
+            if epoch < early_loss_epoch:
+                params, opt_state, loss = step_early(params, opt_state, eig)
+            else:
+                params, opt_state, loss = step_late(params, opt_state, eig)
+
+            if epoch % log_every == 0:
+                youngs = float(model.bins.youngs(params))
+                poisson = float(model.bins.poisson(params))
+                rmse = float(rmse_eval(params, eig))
+                rec = {
+                    "loss": float(loss), "rmse": rmse, "youngs": youngs,
+                    "poisson": poisson, "epoch": epoch,
+                }
+                history.append(rec)
+                if logger:
+                    logger.scalars(
+                        {k: v for k, v in rec.items() if k != "epoch"}, epoch
+                    )
+                if verbose:
+                    print(
+                        f"epoch {epoch}: loss {float(loss):.5f} rmse {rmse:.4f} "
+                        f"E {youngs:.4g} nu {poisson:.4f}"
+                    )
+        wall = time.perf_counter() - t_start
+
+        return {
+            "params": params,
+            "youngs": float(model.bins.youngs(params)),
+            "poisson": float(model.bins.poisson(params)),
+            "rmse": float(rmse_eval(params, eig)),
+            "history": history,
+            "wall_s": wall,
+            "iters_per_sec": max_epoch / wall,
+        }
+
+
+def random_material_pairs(key, n: int = 16):
+    """n random (init, target) materials within [RandomMin, RandomMax]
+    (material_sync_train.py:72-89)."""
+    lo, hi = MatSet.RandomMin, MatSet.RandomMax
+    ks = jax.random.split(key, 4)
+    draw = lambda k, a, b: np.asarray(jax.random.uniform(k, (n,)) * (b - a) + a)
+    init_y, tgt_y = draw(ks[0], lo[1], hi[1]), draw(ks[1], lo[1], hi[1])
+    init_p, tgt_p = draw(ks[2], lo[2], hi[2]), draw(ks[3], lo[2], hi[2])
+    base = list(lo)
+    pairs = []
+    for i in range(n):
+        init = base.copy()
+        tgt = base.copy()
+        init[1], init[2] = float(init_y[i]), float(init_p[i])
+        tgt[1], tgt[2] = float(tgt_y[i]), float(tgt_p[i])
+        pairs.append((tuple(init), tuple(tgt)))
+    return pairs
+
+
+def main(argv=None):
+    from ..config import parse_flags
+
+    flags = parse_flags("material_sync (diffsound-tpu)", argv=argv)
+    os.makedirs(flags.out_dir, exist_ok=True)
+
+    mesh_path = flags.mesh_dir
+    if mesh_path.endswith(".obj"):
+        mesh = TetMesh.from_triangle_mesh(mesh_path)
+    else:
+        mesh = TetMesh.from_file(mesh_path)
+
+    task = MaterialSyncTask(
+        mesh=mesh,
+        mode_num=flags.mode_num,
+        sample_rate=flags.sample_rate,
+        frame_num=flags.frame_num,
+        force_frame_num=flags.force_frame_num,
+        exp_mode=flags.exp_mode,
+    )
+
+    num_pairs = getattr(flags, "num_material_pairs", 16)
+    pairs = random_material_pairs(jax.random.PRNGKey(0), num_pairs)
+    logger = MetricLogger(flags.out_dir)
+    results_path = os.path.join(flags.out_dir, "result.txt")
+    for i, (init_mat, gt_mat) in enumerate(pairs):
+        print(f"material pair {i}: target E={gt_mat[1]:.4g} nu={gt_mat[2]:.4f} "
+              f"init E={init_mat[1]:.4g} nu={init_mat[2]:.4f}")
+        gt_audio, gt_freqs = task.make_gt(gt_mat)
+        res = task.train(
+            init_mat, gt_audio,
+            max_epoch=flags.max_epoch,
+            early_loss_epoch=flags.early_loss_epoch,
+            logger=logger,
+            seed=i,
+        )
+        with open(results_path, "a") as f:
+            f.write(
+                f"material:{i}\nyoungs:{res['youngs']}\npoisson:{res['poisson']}\n"
+                f"target youngs:{gt_mat[1]}\ntarget poisson:{gt_mat[2]}\n"
+                f"RMSE:{res['rmse']}\niters_per_sec:{res['iters_per_sec']:.3f}\n"
+            )
+        print(f"  -> recovered E={res['youngs']:.4g} nu={res['poisson']:.4f} "
+              f"({res['iters_per_sec']:.2f} it/s)")
+
+
+if __name__ == "__main__":
+    main()

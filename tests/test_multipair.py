@@ -1,0 +1,88 @@
+"""The fully-sharded (dp x ep) multi-pair training step must match the
+identical computation on one device (SURVEY.md section 4: N-chip ==
+1-chip to tolerance), and run the whole pipeline (warm LOBPCG + Rayleigh
+correction + synthesis + MSS-L1 + Adam) under jit on the emulated mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffsound_tpu.audio.oscillator import TraditionalOscillatorParams
+from diffsound_tpu.experiments.material_sync import impulse_forces
+from diffsound_tpu.fem.material import Material
+from diffsound_tpu.fem.mesh import cube_tet_mesh
+from diffsound_tpu.models.sound_obj import build_model
+from diffsound_tpu.parallel.mesh import make_device_mesh
+from diffsound_tpu.parallel.train import MultipairTrainer
+
+
+def build_setup(dp, ep, refresh_iters):
+    mesh = cube_tet_mesh(2, size=0.5)
+    base = (2700, 7.2e10, 0.19, 6, 1e-7)
+    mode_num, sr, T = 4, 32000.0, 1000
+    targets = [(2700, 6.8e10, 0.19, 6, 1e-7), (2700, 7.7e10, 0.19, 6, 1e-7)]
+
+    model = build_model(mesh=mesh, mode_num=mode_num, order=1, mat=base,
+                        task="mat_baseline", dtype=jnp.float64)
+    gt_audios = []
+    for t in targets:
+        gt_model = build_model(mesh=mesh, mode_num=mode_num, order=1, mat=t,
+                               task="gt", dtype=jnp.float64)
+        eig = gt_model.eigen_decomposition(method="arpack", sigma=1e5)
+        freqs = gt_model.get_undamped_freqs({}, eig)
+        osc = TraditionalOscillatorParams(1, mode_num, T, sr, Material.of(t))
+        sig, _ = osc(freqs, impulse_forces(1, 20, jnp.float64), dtype=jnp.float64)
+        gt_audios.append(sig)
+    gt_b = jnp.stack(gt_audios)
+
+    dmesh = make_device_mesh(dp=dp, ep=ep)
+    osc = TraditionalOscillatorParams(1, mode_num, T, sr, Material.of(base))
+    trainer = MultipairTrainer(
+        bins=model.bins, ops=model.ops, osc=osc, mesh=dmesh,
+        forces=impulse_forces(1, 20, jnp.float64), sample_rate=sr,
+        lr=5e-3, refresh_iters=refresh_iters,
+    )
+    eig0 = model.eigen_decomposition(method="arpack", sigma=1e5)
+    B = len(targets)
+    eigval_b = jnp.stack([eig0.eigenvalues] * B)
+    eigvec_b = jnp.stack([eig0.eigenvectors] * B)
+    params_b, opt_b = trainer.init(jax.random.PRNGKey(0), B)
+    return model, trainer, params_b, opt_b, eigval_b, eigvec_b, gt_b
+
+
+def run_steps(trainer, state, n):
+    params_b, opt_b, eigval_b, eigvec_b, gt_b = state
+    loss_hist = []
+    for _ in range(n):
+        params_b, opt_b, loss_b, eigval_b, eigvec_b = trainer.step(
+            params_b, opt_b, eigval_b, eigvec_b, gt_b
+        )
+        loss_hist.append(np.asarray(loss_b))
+    return params_b, np.stack(loss_hist)
+
+
+def test_sharded_equals_single_device():
+    """(dp=2, ep=4) result == (dp=1, ep=1) result bit-for-bit-ish."""
+    model, tr_multi, p, o, ev, evec, gt = build_setup(dp=2, ep=4, refresh_iters=2)
+    _, tr_single, p1, o1, ev1, evec1, gt1 = build_setup(dp=1, ep=1, refresh_iters=2)
+
+    pm, lm = run_steps(tr_multi, (p, o, ev, evec, gt), 3)
+    ps, ls = run_steps(tr_single, (p1, o1, ev1, evec1, gt1), 3)
+
+    # cross-sharding float reassociation inside the iterative eigensolve
+    # bounds agreement around ~1e-5; a real sharding bug would be O(1)
+    np.testing.assert_allclose(lm, ls, rtol=1e-4)
+    for k in pm:
+        np.testing.assert_allclose(
+            np.asarray(pm[k]), np.asarray(ps[k]), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_sharded_step_trains():
+    model, trainer, p, o, ev, evec, gt = build_setup(dp=2, ep=4, refresh_iters=3)
+    pm, losses = run_steps(trainer, (p, o, ev, evec, gt), 20)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1].mean() < losses[0].mean()
+    # pretrained init: E starts at the base material's table value
+    E_b = np.asarray(jax.vmap(model.bins.youngs)(pm))
+    assert np.all(E_b > 1e10) and np.all(E_b < 1e11)

@@ -129,6 +129,7 @@ class MaterialSyncTask:
             loss, g = jax.value_and_grad(
                 lambda p: loss_with(early_loss, p, eig)
             )(params)
+            g = model.bins.mask_grads(g)
             updates, opt_state = opt.update(g, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
@@ -139,6 +140,7 @@ class MaterialSyncTask:
             loss, g = jax.value_and_grad(
                 lambda p: loss_with(late_loss, p, eig)
             )(params)
+            g = model.bins.mask_grads(g)
             updates, opt_state = opt2.update(g, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 

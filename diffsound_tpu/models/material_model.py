@@ -83,6 +83,19 @@ class MaterialBins:
             else ("youngs_logits",)
         )
 
+    def mask_grads(self, grads):
+        """Zero the gradients of frozen parameters (the reference passes
+        only `youngs` to Adam in the mat_baseline ablation,
+        diff_model.py:149-150).  Without this, Adam amplifies the ~0
+        numerical-noise gradient on the frozen single-bin poisson logit
+        into full-learning-rate random-walk steps."""
+        keys = self.trainable_keys()
+        import jax.numpy as _jnp
+
+        return {
+            k: (v if k in keys else _jnp.zeros_like(v)) for k, v in grads.items()
+        }
+
     def pretrain(self, params, steps: int = 5000, lr: float = 5e-3):
         """Fit the bin logits so the weighted values hit the table's
         (E, nu) before inference starts."""

@@ -131,7 +131,7 @@ class MultipairTrainer:
                     return self.loss(sig, gt, damped, 1.0)
 
                 loss, g = jax.value_and_grad(loss_fn)(params)
-                return loss, g, eigval, eigvec
+                return loss, self.bins.mask_grads(g), eigval, eigvec
 
             losses, grads, eigval_b, eigvec_b = jax.vmap(one_pair)(
                 params_b, eigval_b, eigvec_b, gt_b

@@ -1,0 +1,124 @@
+"""Driver benchmark: material_sync ord=2 steady-state training throughput
+on the reference bowl mesh (16 modes, 8000 samples @32kHz, eigensolve
+refresh every 15 epochs) — the reference's flagship configuration
+(configs/material_sync_train.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "iters/sec", "vs_baseline": N}
+
+vs_baseline: the reference performs a *CPU* scipy-ARPACK shift-invert
+eigensolve every 15 epochs (/root/reference/src/diffelastic/
+diff_model.py:335-357, experiments/material_sync_train.py:134-140).  We
+measure that exact solve on this host at the same problem size; 15 /
+t_arpack is therefore a hardware-independent UPPER BOUND on the
+reference's iters/sec (its per-epoch GPU work only adds cost).
+vs_baseline = ours / that upper bound, i.e. a LOWER bound on the true
+speedup.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffsound_tpu.audio.mss_loss import MSSLoss
+    from diffsound_tpu.audio.oscillator import TraditionalOscillatorParams
+    from diffsound_tpu.fem import assembly
+    from diffsound_tpu.fem.material import Material
+    from diffsound_tpu.fem.mesh import TetMesh, cube_tet_mesh
+    from diffsound_tpu.models.sound_obj import build_model
+    from diffsound_tpu.solvers.arpack import eigsh_shift_invert
+
+    import optax
+
+    bowl = "/root/reference/data/mesh/bowl/bowl.obj_.msh"
+    mesh = TetMesh.from_file(bowl) if os.path.exists(bowl) else cube_tet_mesh(6, 0.3)
+    mat = (2700, 7.2e10, 0.19, 6, 1e-7)
+    mode_num, sr, T = 16, 32000.0, 8000
+    REFRESH = 15
+
+    model = build_model(
+        mesh=mesh, mode_num=mode_num, order=2, mat=mat, task="material",
+        dtype=jnp.float32,
+    )
+    osc = TraditionalOscillatorParams(1, mode_num, T, sr, Material.of(mat))
+    forces = jnp.zeros((1, 150), jnp.float32).at[0, 0].set(1.0)
+    loss_fn = MSSLoss([1024, 512, 256, 128, 64], sr, loss_type="l1_loss")
+
+    # --- reference upper bound: its CPU ARPACK solve at this size --------
+    mu, lam = model.material_lame({})
+    K, M = assembly.assemble_scipy(model.ops, float(mu), float(lam), 1.0)
+    t0 = time.perf_counter()
+    vals, vecs = eigsh_shift_invert(K, M, k=mode_num + 6, sigma=20000.0)
+    t_arpack = time.perf_counter() - t0
+    ref_upper_iters_per_sec = REFRESH / t_arpack
+
+    # --- our steady state -------------------------------------------------
+    params = model.init_params(jax.random.PRNGKey(0), pretrain=False)
+    gt_audio, _ = osc(
+        jnp.asarray(np.sqrt(np.maximum(vals[6:], 0)) / (2 * np.pi), jnp.float32),
+        forces,
+    )
+
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    from diffsound_tpu.models.sound_obj import EigenState
+
+    eig = EigenState(
+        jnp.asarray(vals, jnp.float32),
+        jnp.asarray(vecs, jnp.float32),
+        jnp.asarray(0),
+        jnp.zeros((mode_num + 6,), jnp.float32),
+    )
+
+    @jax.jit
+    def step(params, opt_state, eig):
+        def lf(p):
+            freqs = model.get_undamped_freqs(p, eig)
+            sig, damped = osc(freqs, forces)
+            return loss_fn(sig, gt_audio, damped, 1.0)
+
+        loss, g = jax.value_and_grad(lf)(params)
+        g = model.bins.mask_grads(g)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # warm up (compile) both the step and the on-device refresh
+    params, opt_state, loss = step(params, opt_state, eig)
+    jax.block_until_ready(loss)
+    eig = model.eigen_decomposition(params, prev=eig)  # compiles LOBPCG
+    jax.block_until_ready(eig.eigenvalues)
+
+    # timed steady state: epochs with refresh every REFRESH epochs
+    EPOCHS = 60
+    t0 = time.perf_counter()
+    for e in range(EPOCHS):
+        if e % REFRESH == 0:
+            eig = model.eigen_decomposition(params, prev=eig)
+        params, opt_state, loss = step(params, opt_state, eig)
+    jax.block_until_ready(loss)
+    wall = time.perf_counter() - t0
+    iters_per_sec = EPOCHS / wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "material_sync_ord2_train_iters_per_sec",
+                "value": round(iters_per_sec, 3),
+                "unit": "iters/sec",
+                "vs_baseline": round(iters_per_sec / ref_upper_iters_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,305 @@
+"""Shape inference tasks over marching tets: thickness and morphing.
+
+Parity targets:
+  * thickness (/root/reference/src/dmtet/geometry/dmtet_thickness.py +
+    experiments/thickness_train.py): infer a shell-thickness scalar
+    (WeightedParam over 32 linear bins scaled by max(sdf)) so that the
+    hollow mesh's corrected modal eigenvalues match a target; eigensolve
+    inside the optimization loop every iteration.
+  * morphing (dmtet_interpolate.py + experiments/morphing_train.py):
+    infer the interpolation coefficient c of sdf = c sdf1 + (1-c) sdf2.
+
+TPU structure: per iteration the current (detached) geometry is marched +
+compacted on the host into bucket-padded static shapes, the eigenpairs
+come from the host shift-invert solver (parity with the reference's
+every-iteration ARPACK), and one jitted program computes the
+Rayleigh-corrected eigenvalue loss and its gradient w.r.t. the shape
+scalar through the marching-tets vertex interpolation and the element
+operators.  Bucketing bounds the number of jit specializations.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..audio.oscillator import weighted_value
+from ..fem import assembly
+from ..fem.material import Material, lame_params
+from ..solvers.arpack import eigsh_shift_invert
+from ..solvers.diff_eigs import rayleigh_corrected_eigenvalues
+from .dmtet import MarchingTets
+from .grid import load_background_grid
+from .sdf_host import mesh_signed_distance
+
+
+class ShapeTaskBase:
+    """Shared marching/compaction/eigensolve machinery."""
+
+    def __init__(
+        self,
+        grid_res: int,
+        scale: float,
+        mat,
+        mode_num: int = 32,
+        order: int = 1,
+        dtype=jnp.float64,
+        sigma: float = 20000.0,
+        extra_modes: int = 6,
+        tets_dir: Optional[str] = None,
+    ):
+        kw = {} if tets_dir is None else {"tets_dir": tets_dir}
+        verts, tets = load_background_grid(grid_res, **kw)
+        self.grid_verts = verts.astype(np.float64) * scale
+        self.marching = MarchingTets(self.grid_verts, tets)
+        self.pos = jnp.asarray(self.grid_verts)
+        self.mat = Material.of(mat)
+        self.mode_num = mode_num
+        self.order = order
+        self.dtype = dtype
+        self.sigma = sigma
+        self.extra_modes = extra_modes
+        self._loss_cache = {}
+        if order != 1:
+            raise NotImplementedError("shape tasks run order-1 (parity: thickness_train.py:106)")
+
+    # material (density-normalized)
+    def _lame(self):
+        return lame_params(self.mat.youngs / self.mat.density, self.mat.poisson)
+
+    def _march(self, sdf, thickness):
+        return self.marching(self.pos, sdf, thickness)
+
+    def _eigensolve_host(self, out, comp):
+        """ARPACK on the compacted geometry; returns padded (lam, U)."""
+        verts_c = np.asarray(out.all_verts)[comp["keep_idx"]]
+        ops = assembly.build_element_ops(
+            jnp.asarray(verts_c),
+            jnp.asarray(comp["tets"]),
+            1,
+            dtype=jnp.float64,
+            tet_mask=jnp.asarray(comp["tet_mask"], jnp.float64),
+        )
+        mu, lam = self._lame()
+        K, M = assembly.assemble_scipy(ops, mu, lam, 1.0)
+        n_real = 3 * comp["num_verts"]
+        K = K[:n_real, :n_real]
+        M = M[:n_real, :n_real]
+        k = self.mode_num + self.extra_modes
+        vals, vecs = eigsh_shift_invert(K, M, k=k, sigma=self.sigma)
+        U = np.zeros((3 * len(comp["keep_idx"]), k))
+        U[:n_real] = vecs
+        return vals, U
+
+    def _loss_fn_for_shapes(self, vpad, tpad, loss_core):
+        key = (vpad, tpad)
+        if key not in self._loss_cache:
+            self._loss_cache[key] = jax.jit(loss_core)
+        return self._loss_cache[key]
+
+
+@dataclass(frozen=True)
+class CoefBins:
+    """WeightedParam over linspace(0, 1, 32) — thickness / morphing coef."""
+
+    num: int = 32
+
+    def init_params(self, key, dtype=jnp.float64):
+        return {
+            "coef_logits": jax.random.uniform(key, (self.num,), dtype, -1.0, 1.0)
+        }
+
+    def value(self, params):
+        vals = jnp.linspace(0.0, 1.0, self.num, dtype=params["coef_logits"].dtype)
+        return weighted_value(params["coef_logits"], vals)
+
+    def pretrain(self, params, target: float, steps: int = 3000, lr: float = 1e-1):
+        """init_coef (dmtet_interpolate.py:366-375)."""
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def run(p):
+            s = opt.init(p)
+
+            def step(carry, _):
+                p, s = carry
+                g = jax.grad(lambda q: (self.value(q) - target) ** 2)(p)
+                u, s = opt.update(g, s)
+                return (optax.apply_updates(p, u), s), None
+
+            (p, _), _ = jax.lax.scan(step, (p, s), None, length=steps)
+            return p
+
+        return run(params)
+
+
+class ThicknessTask(ShapeTaskBase):
+    """Shell-thickness inference from modal eigenvalues."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.bins = CoefBins(32)
+        self.sdf = None
+        self.max_thickness = None
+
+    def apply_sdf(self, mesh_verts, mesh_faces):
+        sd = mesh_signed_distance(self.grid_verts, mesh_verts, mesh_faces)
+        self.sdf = jnp.asarray(sd)
+        self.max_thickness = float(sd.max())
+
+    def thickness_value(self, params):
+        return self.bins.value(params) * self.max_thickness
+
+    def eigenvalues(self, thickness_coef: float):
+        """No-grad target eigenvalues at a given coefficient
+        (dmtet_thickness.py:319-324)."""
+        th = jnp.asarray(thickness_coef * self.max_thickness)
+        out = self._march(self.sdf, th)
+        comp = MarchingTets.compact(out)
+        vals, _ = self._eigensolve_host(out, comp)
+        return vals[self.extra_modes :]
+
+    def _loss_core(self, params, keep_idx, tets_c, tet_mask, lam, U, target):
+        th = self.thickness_value(params)
+        out = self._march(self.sdf, th)
+        verts_c = out.all_verts[keep_idx]
+        ops = assembly.build_element_ops(
+            verts_c, tets_c, 1, dtype=self.dtype, tet_mask=tet_mask
+        )
+        mu, lame_l = self._lame()
+        vals = rayleigh_corrected_eigenvalues(
+            lambda x: assembly.k_matvec(ops, x, mu, lame_l),
+            lambda x: assembly.m_matvec(ops, x, 1.0),
+            lam,
+            U,
+        )[self.extra_modes :]
+        return jnp.mean((vals - target) ** 2 / target**2)
+
+    def step_loss_grad(self, params, target):
+        """One iteration's (loss, grad): host march/compact/eigensolve at
+        the current thickness, then the jitted differentiable pass."""
+        th = jnp.asarray(float(self.thickness_value(params)))
+        out = self._march(self.sdf, th)
+        comp = MarchingTets.compact(out)
+        lam, U = self._eigensolve_host(out, comp)
+
+        keep_idx = jnp.asarray(comp["keep_idx"])
+        tets_c = jnp.asarray(comp["tets"])
+        tet_mask = jnp.asarray(comp["tet_mask"], self.dtype)
+        lam_j = jnp.asarray(lam, self.dtype)
+        U_j = jnp.asarray(U, self.dtype)
+        tgt = jnp.asarray(target, self.dtype)
+
+        fn = self._loss_fn_for_shapes(
+            len(comp["keep_idx"]),
+            comp["tets"].shape[0],
+            jax.value_and_grad(self._loss_core),
+        )
+        return fn(params, keep_idx, tets_c, tet_mask, lam_j, U_j, tgt)
+
+    def optimize(self, target, iters: int = 500, lr: float = 2e-2, verbose=True,
+                 callback=None):
+        """Adam loop (thickness_train.py:42-90)."""
+        params = self.bins.init_params(jax.random.PRNGKey(0))
+        opt = optax.adam(lr)
+        opt_state = opt.init(params)
+        history = []
+        for it in range(iters):
+            loss, g = self.step_loss_grad(params, target)
+            updates, opt_state = opt.update(g, opt_state)
+            params = optax.apply_updates(params, updates)
+            coef = float(self.bins.value(params))
+            history.append({"iter": it, "loss": float(loss), "coef": coef})
+            if verbose and it % 10 == 0:
+                print(f"iter {it}: loss {float(loss):.6f} coef {coef:.4f}")
+            if callback:
+                callback(it, float(loss), coef)
+        return params, history
+
+
+class MorphingTask(ShapeTaskBase):
+    """Morphing-coefficient inference: sdf = c sdf1 + (1-c) sdf2."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.bins = CoefBins(32)
+        self.sdf1 = None
+        self.sdf2 = None
+
+    def apply_sdf2(self, verts1, faces1, verts2, faces2):
+        self.sdf1 = jnp.asarray(
+            mesh_signed_distance(self.grid_verts, verts1, faces1)
+        )
+        self.sdf2 = jnp.asarray(
+            mesh_signed_distance(self.grid_verts, verts2, faces2)
+        )
+
+    def blended_sdf(self, coef):
+        return coef * self.sdf1 + (1.0 - coef) * self.sdf2
+
+    def eigenvalues(self, coef: float):
+        out = self._march(self.blended_sdf(jnp.asarray(coef)), None)
+        comp = MarchingTets.compact(out)
+        vals, _ = self._eigensolve_host(out, comp)
+        return vals[self.extra_modes :]
+
+    def _loss_core(self, params, keep_idx, tets_c, tet_mask, lam, U, target):
+        c = self.bins.value(params)
+        out = self._march(self.blended_sdf(c), None)
+        verts_c = out.all_verts[keep_idx]
+        ops = assembly.build_element_ops(
+            verts_c, tets_c, 1, dtype=self.dtype, tet_mask=tet_mask
+        )
+        mu, lame_l = self._lame()
+        vals = rayleigh_corrected_eigenvalues(
+            lambda x: assembly.k_matvec(ops, x, mu, lame_l),
+            lambda x: assembly.m_matvec(ops, x, 1.0),
+            lam,
+            U,
+        )[self.extra_modes :]
+        return jnp.mean((vals - target) ** 2 / target**2)
+
+    def step_loss_grad(self, params, target):
+        c = jnp.asarray(float(self.bins.value(params)))
+        out = self._march(self.blended_sdf(c), None)
+        comp = MarchingTets.compact(out)
+        lam, U = self._eigensolve_host(out, comp)
+
+        fn = self._loss_fn_for_shapes(
+            len(comp["keep_idx"]),
+            comp["tets"].shape[0],
+            jax.value_and_grad(self._loss_core),
+        )
+        return fn(
+            params,
+            jnp.asarray(comp["keep_idx"]),
+            jnp.asarray(comp["tets"]),
+            jnp.asarray(comp["tet_mask"], self.dtype),
+            jnp.asarray(lam, self.dtype),
+            jnp.asarray(U, self.dtype),
+            jnp.asarray(target, self.dtype),
+        )
+
+    def optimize(self, target, iters: int = 10, lr: float = 2e-2, verbose=True,
+                 init_coef: Optional[float] = None):
+        params = self.bins.init_params(jax.random.PRNGKey(0))
+        if init_coef is not None:
+            params = self.bins.pretrain(params, init_coef)
+        opt = optax.adam(lr)
+        opt_state = opt.init(params)
+        history = []
+        for it in range(iters):
+            loss, g = self.step_loss_grad(params, target)
+            updates, opt_state = opt.update(g, opt_state)
+            params = optax.apply_updates(params, updates)
+            coef = float(self.bins.value(params))
+            history.append({"iter": it, "loss": float(loss), "coef": coef})
+            if verbose:
+                print(f"iter {it}: loss {float(loss):.6f} coef {coef:.4f}")
+        return params, history

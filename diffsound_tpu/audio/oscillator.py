@@ -74,6 +74,34 @@ def fft_convolve_force(signal: jnp.ndarray, forces: jnp.ndarray) -> jnp.ndarray:
     return out[:, :T].astype(signal.dtype)
 
 
+def _phase_cycles(freqs, num_samples, sr, force_split: bool = False):
+    """Fractional phase in cycles, frac(f * (n+1) / sr), accurate for long
+    tails without f64 arithmetic in the hot loop.
+
+    On CPU (x64 available and cheap) this is a plain f64 outer product.
+    On TPU f64 is emulated prohibitively slowly, so we split the per-step
+    increment delta = f/sr into an exactly-representable head (a multiple
+    of 2^-b with b chosen so (n+1) * head stays below 2^23 and is thus
+    exact in f32) plus a small tail whose product error is < 2^-21
+    cycles: frac(n delta) = frac(frac(n head) + n tail)."""
+    if jax.default_backend() == "cpu" and not force_split:
+        t = (jnp.arange(num_samples, dtype=jnp.float64) + 1.0) / sr
+        cycles = freqs.astype(jnp.float64)[..., None] * t
+        return jnp.mod(cycles, 1.0)
+
+    n1 = jnp.arange(1, num_samples + 1, dtype=jnp.float32)
+    f32 = freqs.astype(jnp.float32)[..., None]
+    head_bits = max(1, 22 - int(np.ceil(np.log2(num_samples + 1))))
+    scale = float(2**head_bits)
+    head = jnp.round(f32 / sr * scale) / scale
+    # residual computed against f itself (head*sr is exact on the grid), so
+    # the tail absorbs the f/sr rounding rather than drifting with n
+    tail = (f32 - head * sr) * (1.0 / sr)
+    hi = jnp.mod(head * n1, 1.0)  # exact: products on the 2^-b grid < 2^23
+    lo = tail * n1  # |tail| <= 2^-(b+1), |lo| small
+    return jnp.mod(hi + lo, 1.0)
+
+
 def synth_constant_modes(
     freqs: jnp.ndarray,
     damps: jnp.ndarray,
@@ -88,10 +116,8 @@ def synth_constant_modes(
     amps: (A, M); forces: optional (A, F).  Returns (A, num_samples).
     """
     dtype = amps.dtype
-    t = (jnp.arange(num_samples, dtype=jnp.float64) + 1.0) / sr  # (T,)
-    # phase in cycles, accumulated in f64 and wrapped before the sine
-    cycles = freqs.astype(jnp.float64)[..., None] * t  # (A, M, T)
-    phase = 2.0 * jnp.pi * jnp.mod(cycles, 1.0)
+    t = (jnp.arange(num_samples, dtype=jnp.float32) + 1.0) / sr  # (T,)
+    phase = 2.0 * jnp.pi * _phase_cycles(freqs, num_samples, sr)
     envelope = jnp.exp(-damps[..., None] * t.astype(dtype))
     sig = amps[..., None] * envelope * jnp.sin(phase).astype(dtype)
     sig = jnp.sum(sig, axis=-2)  # (A, T)

@@ -1,0 +1,91 @@
+"""Thickness inference experiment CLI: generate hollow-mesh targets and
+recover thickness coefficients from modal eigenvalues.
+
+Parity with /root/reference/experiments/thickness_generate.py +
+thickness_train.py: for each target thickness in thickness_list, build
+the GT eigenvalues from the generated hollow mesh, then optimize the
+thickness WeightedParam for `iter` Adam steps and report per-target
+recovery + total squared error.
+
+Run: python -m diffsound_tpu.experiments.thickness --config configs/thickness_train.json
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.mesh import read_obj, write_obj
+from ..geometry.dmtet import MarchingTets
+from ..geometry.tasks import ThicknessTask
+from ..utils.logging import MetricLogger
+
+
+def main(argv=None):
+    from ..config import parse_flags
+
+    flags = parse_flags(
+        "thickness (diffsound-tpu)",
+        defaults={"mode_num": 32, "order": 1, "mat": "Steel"},
+        argv=argv,
+    )
+    os.makedirs(flags.out_dir, exist_ok=True)
+    logger = MetricLogger(flags.out_dir)
+
+    mesh_path = os.path.join(flags.init_mesh_dir, flags.mesh_name + ".obj")
+    mverts, mfaces = read_obj(mesh_path)
+
+    results = []
+    total_error = 0.0
+    result_path = os.path.join(flags.out_dir, f"result_{flags.mesh_name}.txt")
+    with open(result_path, "a") as f:
+        f.write(f"material:{flags.mat}\n")
+
+    for thickness in flags.thickness_list:
+        # target eigenvalues from the generated hollow mesh (the reference
+        # generates target meshes in thickness_generate.py; here we march
+        # the same SDF at the target coefficient directly)
+        task = ThicknessTask(
+            grid_res=flags.dmtet_grid, scale=flags.mesh_scale, mat=flags.mat,
+            mode_num=flags.mode_num,
+        )
+        task.apply_sdf(mverts * flags.mesh_scale, mfaces)
+        target_coef = thickness
+        target = task.eigenvalues(target_coef)
+        print(f"target thickness {thickness}: gt vals[:4] = {np.asarray(target)[:4]}")
+
+        t0 = time.perf_counter()
+        params, history = task.optimize(
+            jnp.asarray(target), iters=flags.iter, lr=flags.learning_rate,
+            callback=lambda it, loss, coef: logger.scalars(
+                {"loss": loss, "thickness": coef}, it
+            ),
+        )
+        wall = time.perf_counter() - t0
+        result = history[-1]["coef"]
+        total_error += (result - thickness) ** 2 / len(flags.thickness_list)
+        results.append((thickness, result))
+        print(f"target:{thickness} result:{result} "
+              f"({flags.iter / wall:.2f} it/s)")
+        with open(result_path, "a") as f:
+            f.write(f"target:{thickness} result:{result}\n")
+
+        # export the recovered surface
+        out = task._march(task.sdf, jnp.asarray(result * task.max_thickness))
+        sv, st = MarchingTets.compact_triangles(out)
+        os.makedirs(os.path.join(flags.out_dir, flags.mesh_name), exist_ok=True)
+        write_obj(
+            os.path.join(flags.out_dir, flags.mesh_name, f"result{thickness}.obj"),
+            sv, st,
+        )
+
+    print(f"total error:{total_error}")
+    with open(result_path, "a") as f:
+        f.write(f"total error:{total_error}\n")
+
+
+if __name__ == "__main__":
+    main()

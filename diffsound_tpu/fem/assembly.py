@@ -50,8 +50,11 @@ _DL_DX = np.array(
 )
 
 
-def inv3x3(A: jax.Array):
-    """Batched closed-form 3x3 (det, inverse) via the adjugate."""
+def inv3x3(A: jax.Array, safe: bool = False):
+    """Batched closed-form 3x3 (det, inverse) via the adjugate.
+    safe=True replaces (near-)zero determinants by 1 in the division so
+    masked-out degenerate elements produce finite garbage that the zeroed
+    integration weights then annihilate."""
     a = A[..., 0, 0]
     b = A[..., 0, 1]
     c = A[..., 0, 2]
@@ -73,6 +76,10 @@ def inv3x3(A: jax.Array):
         ],
         axis=-2,
     )
+    if safe:
+        tiny = jnp.finfo(A.dtype).tiny * 1e3
+        den = jnp.where(jnp.abs(det) < tiny, 1.0, det)
+        return det, adj / den[..., None, None]
     return det, adj / det[..., None, None]
 
 
@@ -137,8 +144,10 @@ def build_element_ops(
     v1, v2, v3, v4 = (vertices[c[:, i]] for i in range(4))
     A = jnp.stack([v1 - v4, v2 - v4, v3 - v4], axis=-1)  # (E, 3, 3)
     # Closed-form 3x3 det/inverse: batched LU is unsupported for f64 on TPU
-    # and the adjugate form is faster and fully fused anyway.
-    detA, A_inv = inv3x3(A)
+    # and the adjugate form is faster and fully fused anyway.  The det is
+    # guarded so degenerate/masked (padded) tets yield zeros rather than
+    # NaN*0 = NaN contamination.
+    detA, A_inv = inv3x3(A, safe=True)
     absdet = jnp.abs(detA)
 
     # World-space shape gradients per (tet, gauss): B[e,g,a,:] = dndx_ref[g,a,:] @ A_inv[e]

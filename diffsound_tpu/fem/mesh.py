@@ -278,6 +278,13 @@ class TetMesh:
         if order != 2:
             raise NotImplementedError("only order-2 promotion is supported")
 
+        from ..native import meshops
+
+        res = meshops.promote_order2(self.vertices, self.tets)
+        if res is not None:
+            verts10, tets10 = res
+            return TetMesh(verts10, tets10, order=2)
+
         t = self.tets
         # edges in the promoted node layout: positions 1,3,5,6,7,8
         edge_pairs = np.array([[0, 1], [1, 2], [0, 2], [0, 3], [1, 3], [2, 3]])

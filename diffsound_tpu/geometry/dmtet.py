@@ -47,12 +47,9 @@ class MarchingTets:
         self.grid_tets = np.asarray(grid_tets, np.int64)
         V = self.grid_verts.shape[0]
 
-        pairs = self.grid_tets[:, EDGES]  # (T, 6, 2)
-        pairs_sorted = np.sort(pairs.reshape(-1, 2), axis=1)
-        self.unique_edges, inverse = np.unique(
-            pairs_sorted, axis=0, return_inverse=True
-        )  # (Eg, 2)
-        self.tet_edges = inverse.reshape(-1, 6)  # (T, 6) edge ids
+        from ..native import meshops
+
+        self.unique_edges, self.tet_edges = meshops.unique_edges(self.grid_tets)
         self.num_grid_verts = V
         self.num_edges = self.unique_edges.shape[0]
 
@@ -161,25 +158,31 @@ class MarchingTets:
         mask = np.asarray(out.tet_mask)
         valid = sub[mask]  # (Tc, 4)
 
-        if largest_component:
-            import scipy.sparse as sp
+        # drop (near-)zero-volume slivers — cut points coinciding with grid
+        # vertices create degenerate sub-tets whose dangling vertices would
+        # make the mass matrix exactly singular (cf. the reference's
+        # vols > 0 filter, geometry_train.py:222-223)
+        av = np.asarray(out.all_verts)
+        a, b, c, d = (av[valid[:, i]] for i in range(4))
+        vols = np.abs(np.einsum("ij,ij->i", a - d, np.cross(b - d, c - d))) / 6.0
+        if len(vols):
+            valid = valid[vols > 1e-9 * vols.max()]
 
-            used, inv = np.unique(valid.reshape(-1), return_inverse=True)
-            tets_l = inv.reshape(-1, 4)
-            n = len(used)
-            rows = np.concatenate([tets_l[:, i] for i in range(4)])
-            cols = np.concatenate([tets_l[:, (i + 1) % 4] for i in range(4)])
-            A = sp.coo_matrix(
-                (np.ones_like(rows, np.float32), (rows, cols)), shape=(n, n)
+        from ..native import meshops
+
+        if largest_component and len(valid):
+            ncomp, labels = meshops.connected_components(
+                valid, int(np.asarray(out.all_verts).shape[0])
             )
-            ncomp, labels = sp.csgraph.connected_components(A, directed=False)
             if ncomp > 1:
-                largest = np.bincount(labels, minlength=ncomp).argmax()
-                keep_tet = np.all(labels[tets_l] == largest, axis=1)
-                valid = valid[keep_tet]
+                roots = labels[valid[:, 0]]
+                uniq_roots, counts = np.unique(roots, return_counts=True)
+                largest = uniq_roots[counts.argmax()]
+                valid = valid[roots == largest]
 
-        used, inv = np.unique(valid.reshape(-1), return_inverse=True)
-        tets_c = inv.reshape(-1, 4).astype(np.int64)
+        used, tets_c = meshops.compact_tets(
+            valid.astype(np.int32), np.ones(len(valid), bool)
+        )
         num_verts, num_tets = len(used), len(tets_c)
 
         def round_up(x, b):

@@ -130,7 +130,6 @@ class DiffSoundObject:
             x0 / dsc[:, None],
             max_iters=300,
             tol=5e-6 if self.dtype == jnp.float32 else 1e-9,
-            gram_dtype=jnp.float64,
         )
         vecs = dsc[:, None] * res.eigenvectors
         return EigenState(

@@ -115,7 +115,6 @@ class MultipairTrainer:
                         eigvec,
                         max_iters=self.refresh_iters,
                         tol=1e-30,  # run the full fixed budget
-                        gram_dtype=jnp.float64,
                     )
                     eigval, eigvec = res.eigenvalues, res.eigenvectors
                 eigval = jax.lax.stop_gradient(eigval)

@@ -32,6 +32,14 @@ import jax
 import jax.numpy as jnp
 
 
+def default_gram_dtype():
+    """f64 Gram/Rayleigh-Ritz on CPU; f32 on TPU, where f64 is emulated so
+    slowly that even (3m, 3m) factorizations are impractical.  With the
+    diagonally-scaled pencil the f32 Gram path loses ~1e-6 relative
+    eigenvalue accuracy — well inside the refresh tolerance."""
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
 class LobpcgResult(NamedTuple):
     eigenvalues: jax.Array  # (m,) ascending
     eigenvectors: jax.Array  # (n, m) B-orthonormal
@@ -71,7 +79,7 @@ def lobpcg(
     precond_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     max_iters: int = 200,
     tol: float = 1e-6,
-    gram_dtype=jnp.float64,
+    gram_dtype=None,
     seed: int = 0,
 ) -> LobpcgResult:
     """Compute the m smallest eigenpairs of A x = lambda B x.
@@ -83,6 +91,8 @@ def lobpcg(
     """
     n, m = x0.shape
     dtype = x0.dtype
+    if gram_dtype is None:
+        gram_dtype = default_gram_dtype()
     if precond_fn is None:
         precond_fn = lambda r: r
 

@@ -213,3 +213,30 @@ class TestFilteredNoise:
         params = fn.init_params(jax.random.PRNGKey(0))
         g = jax.grad(lambda p: jnp.sum(fn(p, jax.random.PRNGKey(1)) ** 2))(params)
         assert float(jnp.abs(g["coeff_bank"]).max()) > 0
+
+
+class TestSplitPhase:
+    def test_split_phase_matches_f64(self):
+        """The TPU split-precision phase accumulator tracks the f64 path
+        to ~1e-5 cycles over an 8000-sample tail."""
+        from diffsound_tpu.audio.oscillator import _phase_cycles
+
+        freqs = jnp.asarray(np.linspace(97.3, 15987.1, 16, dtype=np.float32))
+        ref = np.asarray(_phase_cycles(freqs, 8000, 32000.0))
+        split = np.asarray(_phase_cycles(freqs, 8000, 32000.0, force_split=True))
+        # compare circularly (wraps at 1.0)
+        d = np.abs(ref - split)
+        d = np.minimum(d, 1.0 - d)
+        assert d.max() < 2e-5, d.max()
+
+    def test_split_phase_gradient(self):
+        from diffsound_tpu.audio.oscillator import _phase_cycles
+
+        def f(freq):
+            return jnp.sum(
+                _phase_cycles(freq.reshape(1), 100, 32000.0, force_split=True)
+            )
+
+        g = float(jax.grad(f)(jnp.asarray(440.0, jnp.float32)))
+        # sum over n of n/sr = 5050/32000
+        assert abs(g - 5050.0 / 32000.0) < 1e-3

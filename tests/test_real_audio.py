@@ -1,0 +1,104 @@
+"""Real-audio pipeline tests: WAV IO, preprocessing, GT oscillator fit +
+damping-curve extraction on synthetic 'recordings'."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffsound_tpu.audio.damping import DampingCurve
+from diffsound_tpu.audio.io import (
+    highpass_biquad,
+    load_real_audio_dir,
+    read_wav,
+    resample,
+    write_wav,
+)
+from diffsound_tpu.audio.oscillator import GTOscillatorBank
+from diffsound_tpu.experiments.material_real import (
+    extract_damping_curve,
+    fit_gt_oscillator,
+)
+from diffsound_tpu.fem.material import Material, MatSet
+
+
+class TestAudioIO:
+    def test_wav_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-0.9, 0.9, (2, 1000))
+        path = str(tmp_path / "t.wav")
+        write_wav(path, x, 16000)
+        y, sr = read_wav(path)
+        assert sr == 16000
+        np.testing.assert_allclose(y, x, atol=1e-4)
+
+    def test_resample_preserves_tone(self):
+        sr1, sr2 = 48000, 32000
+        t = np.arange(9600) / sr1
+        x = np.sin(2 * np.pi * 440 * t)
+        y = resample(x, sr1, sr2)
+        assert abs(len(y) - 6400) <= 1
+        t2 = np.arange(len(y)) / sr2
+        ref = np.sin(2 * np.pi * 440 * t2)
+        # ignore edges (filter transients)
+        np.testing.assert_allclose(y[500:-500], ref[500:-500], atol=0.02)
+
+    def test_highpass_kills_dc(self):
+        sr = 32000
+        x = np.ones(4000) + 0.1 * np.sin(2 * np.pi * 1000 * np.arange(4000) / sr)
+        y = highpass_biquad(x, sr, 100)
+        assert abs(y[2000:].mean()) < 0.01
+        # 1 kHz content preserved
+        assert y[2000:].std() > 0.05
+
+    def test_load_reference_recordings(self):
+        import os
+
+        if not os.path.exists("/root/reference/data/real_audio/mic0.wav"):
+            pytest.skip("reference data absent")
+        audio, sr = load_real_audio_dir(
+            "/root/reference/data/real_audio", 32000.0, 8000, audio_num=2
+        )
+        assert audio.shape == (2, 8000)
+        assert np.abs(audio).max() <= 1.0 + 1e-6
+        assert np.all(np.isfinite(audio))
+
+
+class TestDampingCurve:
+    def test_band_min_interp(self):
+        freqs = np.array([300.0, 700.0, 800.0, 1300.0, 5300.0])
+        damps = np.array([50.0, 40.0, 60.0, 30.0, 80.0])
+        c = DampingCurve(freqs, damps)
+        # band [20,520): min 50 @270; [520,1020): min 40 @770; ...
+        assert abs(c(270.0) - 50.0) < 1e-9
+        assert abs(c(770.0) - 40.0) < 1e-9
+        # extrapolation is linear
+        assert np.isfinite(c(19000.0))
+
+    def test_damp_limit_filter(self):
+        freqs = np.array([300.0, 700.0, 1300.0, 1400.0])
+        damps = np.array([50.0, 400.0, 30.0, 35.0])  # 400 excluded
+        c = DampingCurve(freqs, damps)
+        assert 700.0 not in c.x  # that band dropped
+
+
+def test_gt_oscillator_fit_recovers_modes():
+    """Fit the GT bank to a synthetic 2-mode recording; the extracted
+    damping curve should approximate the true damping at those modes."""
+    sr, T = 16000.0, 2000
+    t = (np.arange(T) + 1) / sr
+    true = (
+        0.8 * np.exp(-30 * t) * np.sin(2 * np.pi * 800 * t)
+        + 0.5 * np.exp(-60 * t) * np.sin(2 * np.pi * 2100 * t)
+    )
+    gt = jnp.asarray(true[None, :], jnp.float32)
+    forces = jnp.zeros((1, 30), jnp.float32).at[:, 0].set(1.0)
+    mat = Material.of(MatSet.Ceramic)
+    bank, params = fit_gt_oscillator(
+        gt, forces, 24, sr, mat, iters=600, verbose=False
+    )
+    curve = extract_damping_curve(bank, params)
+    # curve should be positive and finite in the fitted range
+    v = curve(np.array([800.0, 2100.0]))
+    assert np.all(np.isfinite(v))
+    assert np.all(v > 0)

@@ -24,6 +24,11 @@ import time
 import numpy as np
 
 
+def _log(msg):
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -44,24 +49,31 @@ def main():
     mode_num, sr, T = 16, 32000.0, 8000
     REFRESH = 15
 
+    _log("building model (element ops on device)")
     model = build_model(
         mesh=mesh, mode_num=mode_num, order=2, mat=mat, task="material",
         dtype=jnp.float32,
     )
+    jax.block_until_ready(model.ops.k_mu)
+    _log("model built")
     osc = TraditionalOscillatorParams(1, mode_num, T, sr, Material.of(mat))
     forces = jnp.zeros((1, 150), jnp.float32).at[0, 0].set(1.0)
     loss_fn = MSSLoss([1024, 512, 256, 128, 64], sr, loss_type="l1_loss")
 
     # --- reference upper bound: its CPU ARPACK solve at this size --------
     mu, lam = model.material_lame({})
-    K, M = assembly.assemble_scipy(model.ops, float(mu), float(lam), 1.0)
+    _log("assembling scipy matrices (host ops, no device pull)")
+    K, M = assembly.assemble_scipy(model.host_ops(), float(mu), float(lam), 1.0)
+    _log("running reference ARPACK solve")
     t0 = time.perf_counter()
     vals, vecs = eigsh_shift_invert(K, M, k=mode_num + 6, sigma=20000.0)
     t_arpack = time.perf_counter() - t0
     ref_upper_iters_per_sec = REFRESH / t_arpack
+    _log(f"arpack {t_arpack:.1f}s")
 
     # --- our steady state -------------------------------------------------
     params = model.init_params(jax.random.PRNGKey(0), pretrain=False)
+    _log("synthesizing gt audio")
     gt_audio, _ = osc(
         jnp.asarray(np.sqrt(np.maximum(vals[6:], 0)) / (2 * np.pi), jnp.float32),
         forces,
@@ -92,10 +104,13 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     # warm up (compile) both the step and the on-device refresh
+    _log("compiling train step")
     params, opt_state, loss = step(params, opt_state, eig)
     jax.block_until_ready(loss)
+    _log("train step compiled; compiling LOBPCG refresh")
     eig = model.eigen_decomposition(params, prev=eig)  # compiles LOBPCG
     jax.block_until_ready(eig.eigenvalues)
+    _log("refresh compiled; timing steady state")
 
     # timed steady state: epochs with refresh every REFRESH epochs
     EPOCHS = 60

@@ -117,6 +117,30 @@ def shape_grad_table(order: int) -> np.ndarray:
     return dNdL @ _DL_DX  # (G, nodes, 3)
 
 
+def build_element_ops_jit(vertices, tets, order, dtype=jnp.float32, tet_mask=None):
+    """One-compile wrapper around `build_element_ops` — eager construction
+    issues dozens of separate XLA programs, which is painful under remote
+    TPU compilation; a single jit specializes once per (shape, order)."""
+    fn = _jitted_builders.get((int(order), dtype, tet_mask is not None))
+    if fn is None:
+        if tet_mask is None:
+            fn = jax.jit(
+                lambda v, t: build_element_ops(v, t, order, dtype=dtype)
+            )
+        else:
+            fn = jax.jit(
+                lambda v, t, m: build_element_ops(v, t, order, dtype=dtype, tet_mask=m)
+            )
+        _jitted_builders[(int(order), dtype, tet_mask is not None)] = fn
+    res = fn(vertices, tets) if tet_mask is None else fn(vertices, tets, tet_mask)
+    # num_vertices is static metadata: jit returns it as a traced scalar,
+    # restore the python int so segment_sum sees a static segment count
+    return res._replace(num_vertices=int(vertices.shape[0]))
+
+
+_jitted_builders = {}
+
+
 def build_element_ops(
     vertices: jax.Array,
     tets: jax.Array,

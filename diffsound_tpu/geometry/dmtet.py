@@ -53,14 +53,22 @@ class MarchingTets:
         self.num_grid_verts = V
         self.num_edges = self.unique_edges.shape[0]
 
-        # device constants
-        self._edges_j = jnp.asarray(self.unique_edges, jnp.int32)
-        self._tets_j = jnp.asarray(self.grid_tets, jnp.int32)
-        self._tet_edges_j = jnp.asarray(self.tet_edges, jnp.int32)
-        self._tet_table = jnp.asarray(TET_TABLE)
-        self._num_tets_t = jnp.asarray(NUM_TETS_TABLE)
-        self._tri_table = jnp.asarray(TRI_TABLE)
-        self._num_tris_t = jnp.asarray(NUM_TRIS_TABLE)
+        # constants committed to the host CPU: the detached marching pass
+        # runs host-side (its outputs feed host compaction — pulling them
+        # from a tunneled TPU is orders of magnitude slower than pushing),
+        # while accelerator jit programs capture these as compile-time
+        # constants and transfer them once
+        cpu = jax.devices("cpu")[0]
+        put = lambda a, dt=None: jax.device_put(
+            jnp.asarray(a, dt) if dt else jnp.asarray(a), cpu
+        )
+        self._edges_j = put(self.unique_edges, jnp.int32)
+        self._tets_j = put(self.grid_tets, jnp.int32)
+        self._tet_edges_j = put(self.tet_edges, jnp.int32)
+        self._tet_table = put(TET_TABLE)
+        self._num_tets_t = put(NUM_TETS_TABLE)
+        self._tri_table = put(TRI_TABLE)
+        self._num_tris_t = put(NUM_TRIS_TABLE)
 
     def __call__(
         self,

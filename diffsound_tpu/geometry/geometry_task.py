@@ -36,7 +36,7 @@ class GeometryTask:
         freq_num: int = 1,
         mode_num: int = 64,
         mat=MatSet.Ceramic,
-        dtype=jnp.float64,
+        dtype=None,
         sigma: float = 20000.0,
         extra_modes: int = 6,
         tets_dir: Optional[str] = None,
@@ -48,6 +48,8 @@ class GeometryTask:
         self.geo = SDFGeometry(self.grid_verts, grid_res, scale, freq_num)
         self.mat = Material.of(mat)
         self.mode_num = mode_num
+        if dtype is None:
+            dtype = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
         self.dtype = dtype
         self.sigma = sigma
         self.extra_modes = extra_modes
@@ -94,11 +96,12 @@ class GeometryTask:
 
     def _eigensolve_host(self, out, comp, k):
         verts_c = np.asarray(out.all_verts)[comp["keep_idx"]]
-        ops = assembly.build_element_ops(
-            jnp.asarray(verts_c), jnp.asarray(comp["tets"]), 1,
-            dtype=jnp.float64,
-            tet_mask=jnp.asarray(comp["tet_mask"], jnp.float64),
-        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            ops = assembly.build_element_ops(
+                jnp.asarray(verts_c), jnp.asarray(comp["tets"]), 1,
+                dtype=jnp.float64,
+                tet_mask=jnp.asarray(comp["tet_mask"], jnp.float64),
+            )
         mu, lam = self._lame()
         K, M = assembly.assemble_scipy(ops, mu, lam, 1.0)
         n = 3 * comp["num_verts"]
@@ -138,7 +141,13 @@ class GeometryTask:
         return template + 2e-4 * eig_loss, (template, eig_loss)
 
     def step_loss_grad(self, params, target, q, sd, margin=0.0):
-        out = self._march_params(jax.tree.map(jax.lax.stop_gradient, params))
+        # detached march runs host-side: pull the (small) params once and
+        # keep all bulk outputs on the CPU for compaction
+        cpu = jax.devices("cpu")[0]
+        params_host = jax.device_put(
+            jax.tree.map(lambda x: np.asarray(x), params), cpu
+        )
+        out = self._march_params(params_host)
         comp = MarchingTets.compact(out)
         k = len(target) + self.extra_modes
         lam, U = self._eigensolve_host(out, comp, k)

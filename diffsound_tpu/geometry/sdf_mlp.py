@@ -50,7 +50,11 @@ class SDFGeometry:
 
     def __init__(self, grid_verts: np.ndarray, grid_res: int, scale: float = 1.0,
                  freq_num: int = 1, hidden_dim: int = 512, layer_num: int = 3):
-        self.verts = jnp.asarray(grid_verts)  # already scaled
+        # CPU-committed: host-side detached passes read these; accelerator
+        # jits capture them as constants
+        self.verts = jax.device_put(
+            jnp.asarray(grid_verts), jax.devices("cpu")[0]
+        )
         self.grid_res = grid_res
         self.scale = scale
         self.net = SDFNet(freq_num, scale, layer_num, hidden_dim)

@@ -49,7 +49,7 @@ class ShapeTaskBase:
         mat,
         mode_num: int = 32,
         order: int = 1,
-        dtype=jnp.float64,
+        dtype=None,
         sigma: float = 20000.0,
         extra_modes: int = 6,
         tets_dir: Optional[str] = None,
@@ -58,10 +58,16 @@ class ShapeTaskBase:
         verts, tets = load_background_grid(grid_res, **kw)
         self.grid_verts = verts.astype(np.float64) * scale
         self.marching = MarchingTets(self.grid_verts, tets)
-        self.pos = jnp.asarray(self.grid_verts)
+        self.pos = jax.device_put(
+            jnp.asarray(self.grid_verts), jax.devices("cpu")[0]
+        )
         self.mat = Material.of(mat)
         self.mode_num = mode_num
         self.order = order
+        if dtype is None:
+            # f64 differentiable pass on CPU; f32 on TPU (f64 emulation
+            # there is unusably slow)
+            dtype = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
         self.dtype = dtype
         self.sigma = sigma
         self.extra_modes = extra_modes
@@ -77,15 +83,18 @@ class ShapeTaskBase:
         return self.marching(self.pos, sdf, thickness)
 
     def _eigensolve_host(self, out, comp):
-        """ARPACK on the compacted geometry; returns padded (lam, U)."""
+        """ARPACK on the compacted geometry; returns padded (lam, U).
+        Pinned to the host CPU device: this is f64 preprocessing for the
+        sparse solver and must never hit TPU f64 emulation."""
         verts_c = np.asarray(out.all_verts)[comp["keep_idx"]]
-        ops = assembly.build_element_ops(
-            jnp.asarray(verts_c),
-            jnp.asarray(comp["tets"]),
-            1,
-            dtype=jnp.float64,
-            tet_mask=jnp.asarray(comp["tet_mask"], jnp.float64),
-        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            ops = assembly.build_element_ops(
+                jnp.asarray(verts_c),
+                jnp.asarray(comp["tets"]),
+                1,
+                dtype=jnp.float64,
+                tet_mask=jnp.asarray(comp["tet_mask"], jnp.float64),
+            )
         mu, lam = self._lame()
         K, M = assembly.assemble_scipy(ops, mu, lam, 1.0)
         n_real = 3 * comp["num_verts"]
@@ -150,7 +159,7 @@ class ThicknessTask(ShapeTaskBase):
 
     def apply_sdf(self, mesh_verts, mesh_faces):
         sd = mesh_signed_distance(self.grid_verts, mesh_verts, mesh_faces)
-        self.sdf = jnp.asarray(sd)
+        self.sdf = jax.device_put(jnp.asarray(sd), jax.devices("cpu")[0])
         self.max_thickness = float(sd.max())
 
     def thickness_value(self, params):
@@ -233,11 +242,12 @@ class MorphingTask(ShapeTaskBase):
         self.sdf2 = None
 
     def apply_sdf2(self, verts1, faces1, verts2, faces2):
-        self.sdf1 = jnp.asarray(
-            mesh_signed_distance(self.grid_verts, verts1, faces1)
+        cpu = jax.devices("cpu")[0]
+        self.sdf1 = jax.device_put(
+            jnp.asarray(mesh_signed_distance(self.grid_verts, verts1, faces1)), cpu
         )
-        self.sdf2 = jnp.asarray(
-            mesh_signed_distance(self.grid_verts, verts2, faces2)
+        self.sdf2 = jax.device_put(
+            jnp.asarray(mesh_signed_distance(self.grid_verts, verts2, faces2)), cpu
         )
 
     def blended_sdf(self, coef):

@@ -86,10 +86,27 @@ class DiffSoundObject:
         self.mat = Material.of(mat) if mat is not None else Material.of((2700, 7.2e10, 0.19, 6, 1e-7))
         self.bins = MaterialBins(self.mat, learn_poisson=(task == "material"))
 
-        self.ops = assembly.build_element_ops(
+        self.ops = assembly.build_element_ops_jit(
             jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), order, dtype=dtype
         )
         self.num_dof = 3 * self.ops.num_vertices
+        self._host_ops = None
+
+    def host_ops(self):
+        """f64 element ops built and kept on the host CPU — the sparse
+        ARPACK path must not pull the (possibly remote) device arrays:
+        device->host bandwidth can be orders of magnitude below
+        host->device on tunneled TPU setups."""
+        if self._host_ops is None:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                self._host_ops = assembly.build_element_ops(
+                    jax.device_put(jnp.asarray(self.mesh.vertices), cpu),
+                    jax.device_put(jnp.asarray(self.mesh.tets), cpu),
+                    self.order,
+                    dtype=jnp.float64,
+                )
+        return self._host_ops
 
     # -- parameters ---------------------------------------------------------
 
@@ -162,7 +179,7 @@ class DiffSoundObject:
             method = "lobpcg" if prev is not None else "arpack"
         if method == "arpack":
             K, M = assembly.assemble_scipy(
-                self.ops, float(mu), float(lam), 1.0
+                self.host_ops(), float(mu), float(lam), 1.0
             )
             vals, vecs = eigsh_shift_invert(K, M, k=k, sigma=sigma)
             return EigenState(

@@ -31,6 +31,14 @@ def _log(msg):
 
 def main():
     import jax
+
+    # persistent compilation cache: the heavy backward-pass compiles are
+    # reused across bench invocations
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_diffsound")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from diffsound_tpu.audio.mss_loss import MSSLoss
@@ -91,12 +99,14 @@ def main():
         jnp.zeros((mode_num + 6,), jnp.float32),
     )
 
+    # gt/forces as jit arguments: closure constants would be constant-
+    # folded through XLA's interpreting evaluator (minutes per FFT chain)
     @jax.jit
-    def step(params, opt_state, eig):
+    def step(params, opt_state, eig, gt, fz):
         def lf(p):
             freqs = model.get_undamped_freqs(p, eig)
-            sig, damped = osc(freqs, forces)
-            return loss_fn(sig, gt_audio, damped, 1.0)
+            sig, damped = osc(freqs, fz)
+            return loss_fn(sig, gt, damped, 1.0)
 
         loss, g = jax.value_and_grad(lf)(params)
         g = model.bins.mask_grads(g)
@@ -105,7 +115,7 @@ def main():
 
     # warm up (compile) both the step and the on-device refresh
     _log("compiling train step")
-    params, opt_state, loss = step(params, opt_state, eig)
+    params, opt_state, loss = step(params, opt_state, eig, gt_audio, forces)
     jax.block_until_ready(loss)
     _log("train step compiled; compiling LOBPCG refresh")
     eig = model.eigen_decomposition(params, prev=eig)  # compiles LOBPCG
@@ -118,7 +128,7 @@ def main():
     for e in range(EPOCHS):
         if e % REFRESH == 0:
             eig = model.eigen_decomposition(params, prev=eig)
-        params, opt_state, loss = step(params, opt_state, eig)
+        params, opt_state, loss = step(params, opt_state, eig, gt_audio, forces)
     jax.block_until_ready(loss)
     wall = time.perf_counter() - t0
     iters_per_sec = EPOCHS / wall

@@ -28,6 +28,14 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# NOTE on matmul precision: the TPU default (bf16 MXU inputs) is NOT
+# acceptable for FEM matvecs — nodal forces are ~100x-cancelling sums, so
+# 3e-3 input rounding becomes >100% Rayleigh-quotient error — but XLA's
+# "high"/"highest" modes fall off the MXU fast path (~400x slower here).
+# All cancellation-sensitive contractions therefore go through
+# fem.precision.precise_einsum (multi-term bf16 splitting, f32-grade
+# accuracy at ~6x bf16 cost); the global default stays untouched.
+
 __version__ = "0.1.0"
 
 

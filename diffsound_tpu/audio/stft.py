@@ -23,18 +23,42 @@ def hann_window(n: int, dtype=jnp.float32):
 
 
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int, center: bool = True):
-    """x (..., T) -> frames (..., num_frames, frame_length)."""
+    """x (..., T) -> frames (..., num_frames, frame_length).
+
+    Implemented with slices + reshapes only (interleaved non-overlapping
+    groups), never a gather: the gather's backward is a large-index
+    scatter and conv-patch extraction needs an n_fft x n_fft kernel —
+    both make the TPU compiler grind for minutes at larger frame sizes.
+    Requires hop | frame_length (true for all overlap factors used here);
+    falls back to a gather otherwise."""
     if center:
         pad = frame_length // 2
-        x = jnp.concatenate(
-            [x[..., 1 : pad + 1][..., ::-1], x, x[..., -pad - 1 : -1][..., ::-1]],
-            axis=-1,
-        )
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    batch_shape = x.shape[:-1]
     T = x.shape[-1]
     num_frames = 1 + (T - frame_length) // hop
-    starts = np.arange(num_frames) * hop
-    idx = starts[:, None] + np.arange(frame_length)[None, :]
-    return x[..., idx]
+
+    if frame_length % hop != 0:
+        starts = np.arange(num_frames) * hop
+        idx = starts[:, None] + np.arange(frame_length)[None, :]
+        return x[..., idx]
+
+    R = frame_length // hop
+    M = -(-num_frames // R)  # frames per interleave group (ceil)
+    # group j holds frames j, j+R, ...: contiguous slices of length
+    # M*frame_length starting at j*hop
+    need = (R - 1) * hop + M * frame_length
+    if need > T:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - T)])
+    groups = [
+        x[..., j * hop : j * hop + M * frame_length].reshape(
+            *batch_shape, M, frame_length
+        )
+        for j in range(R)
+    ]
+    frames = jnp.stack(groups, axis=-2)  # (..., M, R, frame_length)
+    frames = frames.reshape(*batch_shape, M * R, frame_length)
+    return frames[..., :num_frames, :]
 
 
 def spectrogram(x: jnp.ndarray, n_fft: int, hop: int, power: float = 2.0):

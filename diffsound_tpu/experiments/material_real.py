@@ -57,10 +57,10 @@ def fit_gt_oscillator(
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, key, gt, fz):
         def lf(p):
-            sig, _ = bank(p, forces, noise_rate=noise_rate, key=key)
-            return loss_fn(sig, gt_audio)
+            sig, _ = bank(p, fz, noise_rate=noise_rate, key=key)
+            return loss_fn(sig, gt)
 
         loss, g = jax.value_and_grad(lf)(params)
         updates, opt_state = opt.update(g, opt_state)
@@ -69,7 +69,7 @@ def fit_gt_oscillator(
     key = jax.random.PRNGKey(seed + 1)
     for i in range(iters):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+        params, opt_state, loss = step(params, opt_state, sub, gt_audio, forces)
         if verbose and i % 250 == 0:
             print(f"  pre-osc iter {i}: loss {float(loss):.5f}")
     return bank, params
@@ -129,11 +129,11 @@ def train_material_real(
 
     def make_step(loss_fn, optimizer):
         @jax.jit
-        def step(params, opt_state, eig, curve_damp):
+        def step(params, opt_state, eig, curve_damp, gt, fz):
             def lf(p):
                 freqs = model.get_undamped_freqs(p, eig)
-                sig, damped = osc.forward_curve(osc_params, freqs, curve_damp, forces)
-                return loss_fn(sig, gt_audio_j, damped, 1.0)
+                sig, damped = osc.forward_curve(osc_params, freqs, curve_damp, fz)
+                return loss_fn(sig, gt, damped, 1.0)
 
             loss, g = jax.value_and_grad(lf)(params)
             g = model.bins.mask_grads(g)
@@ -145,9 +145,9 @@ def train_material_real(
     step_early = make_step(early_loss, opt)
     step_late = make_step(late_loss, opt2)
     rmse_eval = jax.jit(
-        lambda p, eig, cd: (
+        lambda p, eig, cd, gt, fz: (
             lambda freqs: rmse_loss(
-                osc.forward_curve(osc_params, freqs, cd, forces)[0], gt_audio_j
+                osc.forward_curve(osc_params, freqs, cd, fz)[0], gt
             )
         )(model.get_undamped_freqs(p, eig))
     )
@@ -166,16 +166,20 @@ def train_material_real(
         if epoch == early_loss_epoch:
             opt_state = opt2.init(params)
         if epoch < early_loss_epoch:
-            params, opt_state, loss = step_early(params, opt_state, eig, curve_damp)
+            params, opt_state, loss = step_early(
+                params, opt_state, eig, curve_damp, gt_audio_j, forces
+            )
         else:
-            params, opt_state, loss = step_late(params, opt_state, eig, curve_damp)
+            params, opt_state, loss = step_late(
+                params, opt_state, eig, curve_damp, gt_audio_j, forces
+            )
         if epoch % EIGEN_DECOMPOSE_CYCLE == 0:
             rec = {
                 "epoch": epoch,
                 "loss": float(loss),
                 "youngs": float(model.bins.youngs(params)),
                 "poisson": float(model.bins.poisson(params)),
-                "rmse": float(rmse_eval(params, eig, curve_damp)),
+                "rmse": float(rmse_eval(params, eig, curve_damp, gt_audio_j, forces)),
             }
             history.append(rec)
             if logger:

@@ -119,15 +119,18 @@ class MaterialSyncTask:
         opt = make_opt(lr_early, 0.9)
         opt_state = opt.init(params)
 
-        def loss_with(loss_fn, params, eig):
+        # gt/forces are jit *arguments*: as closure constants XLA would
+        # constant-fold their spectrograms through the (glacial)
+        # interpreting evaluator at compile time
+        def loss_with(loss_fn, params, eig, gt, fz):
             freqs = model.get_undamped_freqs(params, eig)
-            sig, damped = osc(freqs, forces, dtype=self.dtype)
-            return loss_fn(sig, gt_audio, damped, 1.0)
+            sig, damped = osc(freqs, fz, dtype=self.dtype)
+            return loss_fn(sig, gt, damped, 1.0)
 
         @jax.jit
-        def step_early(params, opt_state, eig):
+        def step_early(params, opt_state, eig, gt, fz):
             loss, g = jax.value_and_grad(
-                lambda p: loss_with(early_loss, p, eig)
+                lambda p: loss_with(early_loss, p, eig, gt, fz)
             )(params)
             g = model.bins.mask_grads(g)
             updates, opt_state = opt.update(g, opt_state)
@@ -136,16 +139,16 @@ class MaterialSyncTask:
         opt2 = make_opt(lr_late, 0.95)
 
         @jax.jit
-        def step_late(params, opt_state, eig):
+        def step_late(params, opt_state, eig, gt, fz):
             loss, g = jax.value_and_grad(
-                lambda p: loss_with(late_loss, p, eig)
+                lambda p: loss_with(late_loss, p, eig, gt, fz)
             )(params)
             g = model.bins.mask_grads(g)
             updates, opt_state = opt2.update(g, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
         rmse_eval = jax.jit(
-            lambda p, eig: loss_with(rmse_loss, p, eig)
+            lambda p, eig, gt, fz: loss_with(rmse_loss, p, eig, gt, fz)
         )
 
         eig = None
@@ -157,14 +160,18 @@ class MaterialSyncTask:
             if epoch == early_loss_epoch:
                 opt_state = opt2.init(params)
             if epoch < early_loss_epoch:
-                params, opt_state, loss = step_early(params, opt_state, eig)
+                params, opt_state, loss = step_early(
+                    params, opt_state, eig, gt_audio, forces
+                )
             else:
-                params, opt_state, loss = step_late(params, opt_state, eig)
+                params, opt_state, loss = step_late(
+                    params, opt_state, eig, gt_audio, forces
+                )
 
             if epoch % log_every == 0:
                 youngs = float(model.bins.youngs(params))
                 poisson = float(model.bins.poisson(params))
-                rmse = float(rmse_eval(params, eig))
+                rmse = float(rmse_eval(params, eig, gt_audio, forces))
                 rec = {
                     "loss": float(loss), "rmse": rmse, "youngs": youngs,
                     "poisson": poisson, "epoch": epoch,
@@ -185,7 +192,7 @@ class MaterialSyncTask:
             "params": params,
             "youngs": float(model.bins.youngs(params)),
             "poisson": float(model.bins.poisson(params)),
-            "rmse": float(rmse_eval(params, eig)),
+            "rmse": float(rmse_eval(params, eig, gt_audio, forces)),
             "history": history,
             "wall_s": wall,
             "iters_per_sec": max_epoch / wall,

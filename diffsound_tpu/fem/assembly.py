@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .precision import precise_einsum
 from .quadrature import gauss_tet_quadrature
 from .shape_func import (
     CORNER_NODES,
@@ -180,7 +181,13 @@ def build_element_ops(
     if tet_mask is not None:
         w = w * tet_mask.astype(dtype)[:, None]
 
-    T = jnp.einsum("eg,egai,egbj->eaibj", w, B, B)  # (E, N, 3, N, 3)
+    # fold weights into one factor, then a precise 2-operand contraction
+    # over the gauss axis (cancellation-sensitive: element matrices feed
+    # every downstream quotient)
+    E_, G_, N_ = B.shape[0], B.shape[1], B.shape[2]
+    Bw = (B * w[:, :, None, None]).reshape(E_, G_, N_ * 3)
+    Bf = B.reshape(E_, G_, N_ * 3)
+    T = precise_einsum("egx,egy->exy", Bw, Bf).reshape(E_, N_, 3, N_, 3)
     G = jnp.einsum("eapbp->eab", T)  # (E, N, N)
     eye3 = jnp.eye(3, dtype=dtype)
     k_mu = jnp.einsum("eab,ij->eaibj", G, eye3) + jnp.einsum("eajbi->eaibj", T)
@@ -226,7 +233,7 @@ def _scatter(ops: ElementOps, ye: jax.Array):
 def k_matvec(ops: ElementOps, x: jax.Array, mu, lam) -> jax.Array:
     """K @ X for X (3V, k): two batched MXU matmuls + segment_sum."""
     xe = _gather(ops, x)
-    ye = mu * jnp.einsum("eij,ejk->eik", ops.k_mu, xe) + lam * jnp.einsum(
+    ye = mu * precise_einsum("eij,ejk->eik", ops.k_mu, xe) + lam * precise_einsum(
         "eij,ejk->eik", ops.k_lam, xe
     )
     return _scatter(ops, ye)
@@ -237,7 +244,11 @@ def m_matvec(ops: ElementOps, x: jax.Array, density) -> jax.Array:
     k = x.shape[1]
     xv = x.reshape(ops.num_vertices, 3, k)
     xe = xv[ops.tets]  # (E, N, 3, k)
-    ye = jnp.einsum("ab,ebik->eaik", ops.mref, xe)
+    E_, N_ = ops.tets.shape
+    k_ = xe.shape[-1]
+    ye = precise_einsum(
+        "ab,ebk->eak", ops.mref, xe.reshape(E_, N_, 3 * k_)
+    ).reshape(E_, N_, 3, k_)
     ye = ye * (density * ops.mass_scale)[:, None, None, None]
     E, N = ops.tets.shape
     return _scatter(ops, ye.reshape(E, 3 * N, k))

@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fem.assembly import ElementOps
+from ..fem.precision import precise_einsum
 
 
 def pad_element_ops(ops: ElementOps, multiple: int) -> ElementOps:
@@ -87,7 +88,7 @@ class ShardedFEM:
         xe = x.reshape(V, 3, k)[tets]  # (El, N, 3, k)
         El, N = tets.shape
         xe = xe.reshape(El, 3 * N, k)
-        ye = mu * jnp.einsum("eij,ejk->eik", k_mu, xe) + lam * jnp.einsum(
+        ye = mu * precise_einsum("eij,ejk->eik", k_mu, xe) + lam * precise_einsum(
             "eij,ejk->eik", k_lam, xe
         )
         out = jax.ops.segment_sum(
@@ -99,7 +100,10 @@ class ShardedFEM:
         V = self.num_vertices
         k = x.shape[-1]
         xe = x.reshape(V, 3, k)[tets]  # (El, N, 3, k)
-        ye = jnp.einsum("ab,ebik->eaik", mref, xe)
+        El0, N0 = tets.shape
+        ye = precise_einsum(
+            "ab,ebk->eak", mref, xe.reshape(El0, N0, 3 * k)
+        ).reshape(El0, N0, 3, k)
         ye = ye * (density * mass_scale)[:, None, None, None]
         El, N = tets.shape
         out = jax.ops.segment_sum(

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..audio.mss_loss import MSSLoss
 from ..audio.oscillator import TraditionalOscillatorParams
 from ..fem.assembly import ElementOps
+from ..fem.precision import precise_einsum
 from ..models.material_model import MaterialBins
 from ..solvers.diff_eigs import rayleigh_corrected_eigenvalues, undamped_frequencies
 from ..solvers.lobpcg import lobpcg
@@ -77,8 +78,8 @@ class MultipairTrainer:
         k = x.shape[-1]
         xe = x.reshape(V, 3, k)[tets]
         El, N = tets.shape
-        ye = mu * jnp.einsum("eij,ejk->eik", kmu, xe.reshape(El, 3 * N, k)) + (
-            lam * jnp.einsum("eij,ejk->eik", klam, xe.reshape(El, 3 * N, k))
+        ye = mu * precise_einsum("eij,ejk->eik", kmu, xe.reshape(El, 3 * N, k)) + (
+            lam * precise_einsum("eij,ejk->eik", klam, xe.reshape(El, 3 * N, k))
         )
         out = jax.ops.segment_sum(
             ye.reshape(El * N, 3 * k), tets.reshape(-1), num_segments=V
@@ -89,7 +90,11 @@ class MultipairTrainer:
         V = self.num_vertices
         k = x.shape[-1]
         xe = x.reshape(V, 3, k)[tets]
-        ye = jnp.einsum("ab,ebik->eaik", self.mref, xe) * mscale[:, None, None, None]
+        El0, N0 = tets.shape
+        k0 = xe.shape[-1]
+        ye = precise_einsum(
+            "ab,ebk->eak", self.mref, xe.reshape(El0, N0, 3 * k0)
+        ).reshape(El0, N0, 3, k0) * mscale[:, None, None, None]
         El, N = tets.shape
         out = jax.ops.segment_sum(
             ye.reshape(El * N, 3 * k), tets.reshape(-1), num_segments=V

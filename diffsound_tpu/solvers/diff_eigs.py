@@ -33,6 +33,12 @@ def rayleigh_corrected_eigenvalues(k_fn, m_fn, eigenvalues, eigenvectors):
     return lam + add
 
 
-def undamped_frequencies(eigenvalues):
-    """f = sqrt(lambda) / 2 pi (Hz)."""
-    return jnp.sqrt(jnp.maximum(eigenvalues, 0.0)) / (2.0 * jnp.pi)
+def undamped_frequencies(eigenvalues, floor: float = 1e-3):
+    """f = sqrt(lambda) / 2 pi (Hz).
+
+    The floor keeps the clamp differentiable: sqrt(max(x, 0)) has an
+    infinite gradient at a clamped zero, which turns one spuriously
+    negative corrected eigenvalue into NaN parameters after a single
+    optimizer step.  Physical eigenvalues (>= (2 pi * 20 Hz)^2 ~ 1.6e4)
+    are far above the floor."""
+    return jnp.sqrt(jnp.maximum(eigenvalues, floor)) / (2.0 * jnp.pi)

@@ -31,6 +31,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..fem.precision import precise_matmul
+
 
 def default_gram_dtype():
     """f64 Gram/Rayleigh-Ritz on CPU; f32 on TPU, where f64 is emulated so
@@ -51,7 +53,7 @@ def _b_orthonormalize(S, BS, gram_dtype):
     """Two-pass Cholesky-QR in the B inner product. Returns (S, BS)."""
 
     def one_pass(S, BS):
-        G = (S.T @ BS).astype(gram_dtype)
+        G = precise_matmul(S.T, BS).astype(gram_dtype)
         g = jnp.diagonal(G)
         # Scale columns to unit B-norm first: improves conditioning of chol.
         d = jax.lax.rsqrt(jnp.maximum(g, jnp.finfo(gram_dtype).tiny))
@@ -65,7 +67,7 @@ def _b_orthonormalize(S, BS, gram_dtype):
         Linv_t = jax.scipy.linalg.solve_triangular(
             L, jnp.eye(m, dtype=gram_dtype), lower=True
         ).T.astype(S.dtype)
-        return Sd @ Linv_t, BSd @ Linv_t
+        return precise_matmul(Sd, Linv_t), precise_matmul(BSd, Linv_t)
 
     S, BS = one_pass(S, BS)
     S, BS = one_pass(S, BS)
@@ -103,7 +105,7 @@ def lobpcg(
         """Rayleigh-Ritz on a B-orthonormal basis S: returns ascending ritz
         values (3m,) and vectors Z (3m, 3m) in the S coordinates."""
         AS = a_fn(S)
-        G = (S.T @ AS).astype(gram_dtype)
+        G = precise_matmul(S.T, AS).astype(gram_dtype)
         G = 0.5 * (G + G.T)
         theta, Z = jnp.linalg.eigh(G)
         return theta.astype(dtype), Z.astype(dtype), AS
@@ -131,10 +133,10 @@ def lobpcg(
         ritz, Z, _ = rr(S, BS)
 
         Zm = Z[:, :m]
-        Xn = S @ Zm
+        Xn = precise_matmul(S, Zm)
         # "ortho" conjugate-direction update: drop the X-block component.
         Zp = Zm.at[:m, :].set(0.0)
-        Pn = S @ Zp
+        Pn = precise_matmul(S, Zp)
         return Xn, Pn, ritz[:m], rel, it + 1
 
     def cond(state):
@@ -145,10 +147,10 @@ def lobpcg(
     BX0 = b_fn(x0)
     X, BX = _b_orthonormalize(x0, BX0, gram_dtype)
     AX = a_fn(X)
-    G0 = (X.T @ AX).astype(gram_dtype)
+    G0 = precise_matmul(X.T, AX).astype(gram_dtype)
     G0 = 0.5 * (G0 + G0.T)
     th0, Z0 = jnp.linalg.eigh(G0)
-    X = X @ Z0.astype(dtype)
+    X = precise_matmul(X, Z0.astype(dtype))
     theta0 = th0.astype(dtype)
 
     init = (X, p0, theta0, jnp.full((m,), jnp.inf, dtype=dtype), jnp.array(0))

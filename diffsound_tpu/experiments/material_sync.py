@@ -89,6 +89,8 @@ class MaterialSyncTask:
         verbose: bool = True,
         lr_early: float = 5e-3,
         lr_late: float = 2e-3,
+        checkpoint_dir: str = None,
+        checkpoint_every: int = 1500,
     ) -> dict:
         model = build_model(
             mesh=self.mesh, mode_num=self.mode_num, order=self.mesh_order,
@@ -151,10 +153,21 @@ class MaterialSyncTask:
             lambda p, eig, gt, fz: loss_with(rmse_loss, p, eig, gt, fz)
         )
 
+        ckpt = None
+        start_epoch = 0
+        if checkpoint_dir is not None:
+            from ..utils.checkpoint import TrainCheckpointer
+
+            ckpt = TrainCheckpointer(checkpoint_dir, every=checkpoint_every)
+            restored = ckpt.restore(params, opt_state)
+            if restored is not None:
+                params, opt_state, start_epoch = restored
+                print(f"resumed from checkpoint at epoch {start_epoch}")
+
         eig = None
         history = []
         t_start = time.perf_counter()
-        for epoch in range(max_epoch):
+        for epoch in range(start_epoch, max_epoch):
             if epoch % EIGEN_DECOMPOSE_CYCLE == 0:
                 eig = model.eigen_decomposition(params, prev=eig, method=self.solver)
             if epoch == early_loss_epoch:
@@ -168,6 +181,8 @@ class MaterialSyncTask:
                     params, opt_state, eig, gt_audio, forces
                 )
 
+            if ckpt is not None:
+                ckpt.maybe_save(epoch, params, opt_state)
             if epoch % log_every == 0:
                 youngs = float(model.bins.youngs(params))
                 poisson = float(model.bins.poisson(params))
@@ -218,10 +233,71 @@ def random_material_pairs(key, n: int = 16):
     return pairs
 
 
+def train_pairs_parallel(task: MaterialSyncTask, pairs, flags, logger):
+    """Train all material pairs simultaneously on a (dp, ep) device mesh
+    (the reference runs them serially; see parallel/train.py)."""
+    from ..parallel.mesh import make_device_mesh
+    from ..parallel.train import MultipairTrainer
+
+    n_dev = len(jax.devices())
+    ep = 2 if n_dev >= 4 else 1
+    dp = max(n_dev // ep, 1)
+    dmesh = make_device_mesh(dp=dp, ep=ep)
+    B = len(pairs)
+
+    init_mat = pairs[0][0]
+    model = build_model(
+        mesh=task.mesh, mode_num=task.mode_num, order=task.mesh_order,
+        mat=init_mat, task=task.task, dtype=task.dtype,
+    )
+    osc = TraditionalOscillatorParams(
+        1, task.mode_num, task.frame_num, task.sample_rate, Material.of(init_mat)
+    )
+    forces = impulse_forces(1, task.force_frame_num, task.dtype)
+    trainer = MultipairTrainer(
+        bins=model.bins, ops=model.ops, osc=osc, mesh=dmesh, forces=forces,
+        sample_rate=task.sample_rate, lr=2e-3, refresh_iters=4,
+    )
+
+    gt_audios = []
+    for _, gt_mat in pairs:
+        gt_audio, _ = task.make_gt(gt_mat)
+        gt_audios.append(gt_audio)
+    gt_b = jnp.stack(gt_audios)
+
+    eig0 = model.eigen_decomposition(method="arpack")
+    eigval_b = jnp.stack([eig0.eigenvalues.astype(task.dtype)] * B)
+    eigvec_b = jnp.stack([eig0.eigenvectors.astype(task.dtype)] * B)
+    params_b, opt_b = trainer.init(jax.random.PRNGKey(0), B)
+
+    t0 = time.perf_counter()
+    for epoch in range(flags.max_epoch):
+        params_b, opt_b, loss_b, eigval_b, eigvec_b = trainer.step(
+            params_b, opt_b, eigval_b, eigvec_b, gt_b
+        )
+        if epoch % EIGEN_DECOMPOSE_CYCLE == 0:
+            losses = np.asarray(loss_b)
+            E_b = np.asarray(jax.vmap(model.bins.youngs)(params_b))
+            logger.scalars(
+                {f"loss_pair{i}": float(l) for i, l in enumerate(losses)}, epoch
+            )
+            print(f"epoch {epoch}: losses {losses.round(3).tolist()[:4]}... "
+                  f"E[:4] {E_b[:4].tolist()}")
+    wall = time.perf_counter() - t0
+    E_b = np.asarray(jax.vmap(model.bins.youngs)(params_b))
+    nu_b = np.asarray(jax.vmap(model.bins.poisson)(params_b))
+    return {
+        "youngs": E_b, "poisson": nu_b,
+        "pair_iters_per_sec": flags.max_epoch * B / wall,
+    }
+
+
 def main(argv=None):
     from ..config import parse_flags
 
-    flags = parse_flags("material_sync (diffsound-tpu)", argv=argv)
+    flags = parse_flags(
+        "material_sync (diffsound-tpu)", defaults={"parallel": False}, argv=argv
+    )
     os.makedirs(flags.out_dir, exist_ok=True)
 
     mesh_path = flags.mesh_dir
@@ -243,6 +319,19 @@ def main(argv=None):
     pairs = random_material_pairs(jax.random.PRNGKey(0), num_pairs)
     logger = MetricLogger(flags.out_dir)
     results_path = os.path.join(flags.out_dir, "result.txt")
+
+    if getattr(flags, "parallel", False):
+        res = train_pairs_parallel(task, pairs, flags, logger)
+        with open(results_path, "a") as f:
+            for i, (init_mat, gt_mat) in enumerate(pairs):
+                f.write(
+                    f"material:{i}\nyoungs:{res['youngs'][i]}\n"
+                    f"poisson:{res['poisson'][i]}\n"
+                    f"target youngs:{gt_mat[1]}\ntarget poisson:{gt_mat[2]}\n"
+                )
+            f.write(f"pair_iters_per_sec:{res['pair_iters_per_sec']:.3f}\n")
+        print(f"parallel run: {res['pair_iters_per_sec']:.2f} pair-iters/s")
+        return
     for i, (init_mat, gt_mat) in enumerate(pairs):
         print(f"material pair {i}: target E={gt_mat[1]:.4g} nu={gt_mat[2]:.4f} "
               f"init E={init_mat[1]:.4g} nu={init_mat[2]:.4f}")

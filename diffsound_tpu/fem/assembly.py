@@ -93,6 +93,11 @@ class ElementOps(NamedTuple):
     mass_scale: jax.Array  # (E,) = |det A| (mass rho applied at matvec time)
     mref: jax.Array  # (N, N) reference element mass matrix
     num_vertices: int  # static
+    # optional scatter->gather transpose: (V, D) indices into the flattened
+    # (E*N + 1) element-node rows (last row is a zero dummy).  TPU scatter-
+    # add is serialized and dominates the matvec (~35 ms on the bowl);
+    # the precomputed gather runs at memory bandwidth.
+    gather_idx: Optional[jax.Array] = None
 
     @property
     def num_tets(self):
@@ -135,8 +140,14 @@ def build_element_ops_jit(vertices, tets, order, dtype=jnp.float32, tet_mask=Non
         _jitted_builders[(int(order), dtype, tet_mask is not None)] = fn
     res = fn(vertices, tets) if tet_mask is None else fn(vertices, tets, tet_mask)
     # num_vertices is static metadata: jit returns it as a traced scalar,
-    # restore the python int so segment_sum sees a static segment count
-    return res._replace(num_vertices=int(vertices.shape[0]))
+    # restore the python int so segment_sum sees a static segment count.
+    # Also attach the host-built scatter->gather transpose (tets concrete
+    # here) so single-chip matvecs avoid the serialized TPU scatter.
+    gidx = build_gather_transpose(np.asarray(tets), int(vertices.shape[0]))
+    return res._replace(
+        num_vertices=int(vertices.shape[0]),
+        gather_idx=jnp.asarray(gidx),
+    )
 
 
 _jitted_builders = {}
@@ -176,7 +187,11 @@ def build_element_ops(
     absdet = jnp.abs(detA)
 
     # World-space shape gradients per (tet, gauss): B[e,g,a,:] = dndx_ref[g,a,:] @ A_inv[e]
-    B = jnp.einsum("gax,exy->egay", dndx_ref, A_inv)  # (E, G, N, 3)
+    # Exact f32 via a 3-term broadcast-sum — a plain einsum runs at bf16
+    # MXU precision on TPU and its 3e-3 error poisons every element matrix.
+    B = jnp.sum(
+        dndx_ref[None, :, :, :, None] * A_inv[:, None, None, :, :], axis=3
+    )  # (E, G, N, 3)
     w = wts[None, :] * absdet[:, None]  # (E, G)
     if tet_mask is not None:
         w = w * tet_mask.astype(dtype)[:, None]
@@ -188,9 +203,12 @@ def build_element_ops(
     Bw = (B * w[:, :, None, None]).reshape(E_, G_, N_ * 3)
     Bf = B.reshape(E_, G_, N_ * 3)
     T = precise_einsum("egx,egy->exy", Bw, Bf).reshape(E_, N_, 3, N_, 3)
-    G = jnp.einsum("eapbp->eab", T)  # (E, N, N)
+    G = jnp.einsum("eapbp->eab", T)  # (E, N, N) — a diagonal-sum, no matmul
     eye3 = jnp.eye(3, dtype=dtype)
-    k_mu = jnp.einsum("eab,ij->eaibj", G, eye3) + jnp.einsum("eajbi->eaibj", T)
+    # outer-with-identity and transpose expressed elementwise (exact)
+    k_mu = G[:, :, None, :, None] * eye3[None, None, :, None, :] + jnp.transpose(
+        T, (0, 1, 4, 3, 2)
+    )
     k_lam = T
 
     E, N = tets.shape
@@ -219,14 +237,38 @@ def _gather(ops: ElementOps, x: jax.Array):
     return xe.reshape(E, 3 * N, k)
 
 
+def build_gather_transpose(tets: np.ndarray, num_vertices: int) -> np.ndarray:
+    """Host-side scatter->gather transposition: for each vertex, the list of
+    flattened (element, node-slot) rows that accumulate into it, padded with
+    a dummy index pointing at an all-zero row."""
+    tets = np.asarray(tets)
+    flat = tets.reshape(-1).astype(np.int64)
+    counts = np.bincount(flat, minlength=num_vertices)
+    D = max(int(counts.max()), 1)
+    starts = np.zeros(num_vertices + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    order = np.argsort(flat, kind="stable")
+    sorted_v = flat[order]
+    pos = np.arange(len(flat)) - starts[sorted_v]
+    idx = np.full((num_vertices, D), len(flat), np.int32)  # dummy row
+    idx[sorted_v, pos] = order.astype(np.int32)
+    return idx
+
+
 def _scatter(ops: ElementOps, ye: jax.Array):
-    """per-element (E, 3N, k) -> (3V, k) via segment_sum over shared nodes."""
+    """per-element (E, 3N, k) -> (3V, k) reduction over shared nodes."""
     E, threeN, k = ye.shape
     N = threeN // 3
     flat = ye.reshape(E * N, 3 * k)
-    out = jax.ops.segment_sum(
-        flat, ops.tets.reshape(-1), num_segments=ops.num_vertices
-    )
+    if ops.gather_idx is not None:
+        rows = jnp.concatenate(
+            [flat, jnp.zeros((1, 3 * k), flat.dtype)], axis=0
+        )
+        out = jnp.sum(rows[ops.gather_idx], axis=1)  # (V, 3k)
+    else:
+        out = jax.ops.segment_sum(
+            flat, ops.tets.reshape(-1), num_segments=ops.num_vertices
+        )
     return out.reshape(ops.num_vertices * 3, k)
 
 

@@ -141,12 +141,18 @@ class DiffSoundObject:
         kf, mf = self._k_fn(mu, lam), self._m_fn()
         a_fn = lambda y: dsc[:, None] * kf(dsc[:, None] * y)
         b_fn = lambda y: dsc[:, None] * mf(dsc[:, None] * y)
+        # f32 tolerance sits just above the matvec noise floor (measured
+        # ~6e-4 relative residual for a converged basis on the bowl) —
+        # Ritz-value error is O(residual^2), measured ~4e-5 relative
+        # frequencies at this floor.  A tighter tol burns the whole
+        # iteration budget chasing roundoff; warm refreshes then exit in
+        # a few iterations.
         res = lobpcg(
             a_fn,
             b_fn,
             x0 / dsc[:, None],
-            max_iters=300,
-            tol=5e-6 if self.dtype == jnp.float32 else 1e-9,
+            max_iters=40 if self.dtype == jnp.float32 else 300,
+            tol=1e-3 if self.dtype == jnp.float32 else 1e-9,
         )
         vecs = dsc[:, None] * res.eigenvectors
         return EigenState(

@@ -42,6 +42,101 @@ def default_gram_dtype():
     return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
 
+def _needs_precise_refine():
+    """On TPU, eigh lowers to matmul-based iterations (QDWH) that run at
+    the default bf16 MXU precision — ~3e-3 eigenvector error, enough to
+    stall LOBPCG at ~1e-2 residuals.  Host callbacks are unsupported by
+    this PJRT backend, so the fix is on-device: refine the approximate
+    eigenbasis with precise-matmul Rayleigh-Ritz + first-order Jacobi
+    corrections (each pass squares the error: 3e-3 -> ~1e-5 -> ~f32)."""
+    return jax.default_backend() not in ("cpu",)
+
+
+def _sym_eigh(G, refine: int = 2):
+    """eigh of a small symmetric matrix, accurate on TPU.
+
+    Uses the backend eigh as an initial guess, then `refine` passes of
+        H = V^T G V = D + E    (precise matmuls)
+        C_ij = H_ij / (d_i - d_j)  (antisymmetric first-order rotation,
+                                    zeroed for near-degenerate pairs)
+        V <- (V + V C), column-normalized
+    and returns (diag(H), V) sorted ascending."""
+    w, V = jnp.linalg.eigh(G)
+    if not _needs_precise_refine():
+        return w, V
+
+    for _ in range(refine):
+        GV = precise_matmul(G, V)
+        H = precise_matmul(V.T, GV)
+        H = 0.5 * (H + H.T)
+        d = jnp.diagonal(H)
+        denom = d[:, None] - d[None, :]
+        scale = jnp.mean(jnp.abs(d)) + jnp.finfo(G.dtype).tiny
+        safe = jnp.abs(denom) > 1e-5 * scale
+        C = jnp.where(safe, H / jnp.where(safe, denom, 1.0), 0.0)
+        C = C - jnp.diag(jnp.diagonal(C))
+        V = V + precise_matmul(V, C)
+        V = V * jax.lax.rsqrt(jnp.sum(V * V, axis=0, keepdims=True))
+    GV = precise_matmul(G, V)
+    H = precise_matmul(V.T, GV)
+    w = jnp.diagonal(H)
+    order = jnp.argsort(w)
+    return w[order], V[:, order]
+
+
+def _chol_unblocked(G):
+    """Right-looking unblocked Cholesky via fori_loop rank-1 updates —
+    elementwise VPU arithmetic only, so f32-exact on TPU (the library
+    cholesky goes blocked above 64 and its trailing updates run on the
+    bf16 MXU)."""
+    n = G.shape[0]
+    idx = jnp.arange(n)
+
+    def body(j, A):
+        # mask-select updates only: dynamic .at scatters make the TPU
+        # compiler grind
+        Aj = jnp.sum(jnp.where(idx[None, :] == j, A, 0.0), axis=1)  # col j
+        d = jnp.sqrt(jnp.maximum(jnp.sum(jnp.where(idx == j, Aj, 0.0)), jnp.finfo(A.dtype).tiny))
+        col = jnp.where(idx > j, Aj / d, 0.0)
+        A = A - col[:, None] * col[None, :]
+        newcol = jnp.where(idx == j, d, col)
+        colmask = (idx[None, :] == j).astype(A.dtype)
+        A = A * (1.0 - colmask) + newcol[:, None] * colmask
+        return A
+
+    return jnp.tril(jax.lax.fori_loop(0, n, body, G))
+
+
+def _tri_lower_inv(L):
+    """L^-1 for lower-triangular L by forward substitution (rank-1
+    updates, f32-exact on TPU)."""
+    n = L.shape[0]
+    idx = jnp.arange(n)
+
+    def body(j, X):
+        Lj = jnp.sum(jnp.where(idx[None, :] == j, L, 0.0), axis=1)  # col j of L
+        ljj = jnp.sum(jnp.where(idx == j, Lj, 0.0))
+        Xj = jnp.sum(jnp.where(idx[:, None] == j, X, 0.0), axis=0) / ljj  # row j
+        rowmask = (idx[:, None] == j).astype(X.dtype)
+        X = X * (1.0 - rowmask) + Xj[None, :] * rowmask
+        colj = jnp.where(idx > j, Lj, 0.0)
+        return X - colj[:, None] * Xj[None, :]
+
+    return jax.lax.fori_loop(0, n, body, jnp.eye(n, dtype=L.dtype))
+
+
+def _chol_inv_t(G):
+    """inv(chol(G)).T of a small SPD matrix, accurate on every backend."""
+    if not _needs_precise_refine():
+        m = G.shape[0]
+        L = jnp.linalg.cholesky(G)
+        return jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(m, dtype=G.dtype), lower=True
+        ).T
+    L = _chol_unblocked(G)
+    return _tri_lower_inv(L).T
+
+
 class LobpcgResult(NamedTuple):
     eigenvalues: jax.Array  # (m,) ascending
     eigenvectors: jax.Array  # (n, m) B-orthonormal
@@ -60,13 +155,11 @@ def _b_orthonormalize(S, BS, gram_dtype):
         G = G * d[:, None] * d[None, :]
         eps = jnp.asarray(jnp.finfo(S.dtype).eps, gram_dtype)
         m = G.shape[0]
-        L = jnp.linalg.cholesky(G + (10.0 * m * eps) * jnp.eye(m, dtype=gram_dtype))
-        # Solve S_new L^T = S_scaled  (right triangular solve)
+        Linv_t = _chol_inv_t(
+            G + (10.0 * m * eps) * jnp.eye(m, dtype=gram_dtype)
+        ).astype(S.dtype)
         Sd = S * d[None, :].astype(S.dtype)
         BSd = BS * d[None, :].astype(S.dtype)
-        Linv_t = jax.scipy.linalg.solve_triangular(
-            L, jnp.eye(m, dtype=gram_dtype), lower=True
-        ).T.astype(S.dtype)
         return precise_matmul(Sd, Linv_t), precise_matmul(BSd, Linv_t)
 
     S, BS = one_pass(S, BS)
@@ -107,7 +200,7 @@ def lobpcg(
         AS = a_fn(S)
         G = precise_matmul(S.T, AS).astype(gram_dtype)
         G = 0.5 * (G + G.T)
-        theta, Z = jnp.linalg.eigh(G)
+        theta, Z = _sym_eigh(G)
         return theta.astype(dtype), Z.astype(dtype), AS
 
     def body(state):
@@ -149,7 +242,7 @@ def lobpcg(
     AX = a_fn(X)
     G0 = precise_matmul(X.T, AX).astype(gram_dtype)
     G0 = 0.5 * (G0 + G0.T)
-    th0, Z0 = jnp.linalg.eigh(G0)
+    th0, Z0 = _sym_eigh(G0)
     X = precise_matmul(X, Z0.astype(dtype))
     theta0 = th0.astype(dtype)
 

@@ -271,3 +271,48 @@ class TestAssembly:
             R[:, k] = u.reshape(-1)
         KX = np.asarray(assembly.k_matvec(ops, jnp.asarray(np.hstack([T, R])), mu, lam))
         assert np.abs(KX).max() < 1e-6 * mu
+
+
+class TestGatherTranspose:
+    def test_gather_scatter_equivalence(self):
+        """The gather-transpose reduction equals segment_sum exactly."""
+        from diffsound_tpu.fem.assembly import (
+            build_element_ops,
+            build_element_ops_jit,
+            build_gather_transpose,
+            k_matvec,
+            m_matvec,
+        )
+
+        mesh = cube_tet_mesh(3).to_high_order(2)
+        mu, lam = lame_params(2.1e7, 0.3)
+        ops_plain = assembly.build_element_ops(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), 2, dtype=jnp.float64
+        )
+        assert ops_plain.gather_idx is None
+        ops_fast = build_element_ops_jit(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), 2, dtype=jnp.float64
+        )
+        assert ops_fast.gather_idx is not None
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.standard_normal((3 * mesh.num_vertices, 5)))
+        np.testing.assert_allclose(
+            np.asarray(k_matvec(ops_fast, X, mu, lam)),
+            np.asarray(k_matvec(ops_plain, X, mu, lam)),
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_matvec(ops_fast, X, 1.3)),
+            np.asarray(m_matvec(ops_plain, X, 1.3)),
+            rtol=1e-12,
+        )
+
+    def test_transpose_indices_cover_all(self):
+        from diffsound_tpu.fem.assembly import build_gather_transpose
+
+        mesh = cube_tet_mesh(2)
+        idx = build_gather_transpose(mesh.tets, mesh.num_vertices)
+        EN = mesh.tets.size
+        real = idx[idx < EN]
+        assert len(real) == EN  # every element-node row appears exactly once
+        assert len(np.unique(real)) == EN

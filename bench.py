@@ -99,12 +99,14 @@ def main():
         jnp.zeros((mode_num + 6,), jnp.float32),
     )
 
+    cache = model.modal_cache(eig)
+
     # gt/forces as jit arguments: closure constants would be constant-
     # folded through XLA's interpreting evaluator (minutes per FFT chain)
     @jax.jit
-    def step(params, opt_state, eig, gt, fz):
+    def step(params, opt_state, cache, gt, fz):
         def lf(p):
-            freqs = model.get_undamped_freqs(p, eig)
+            freqs = model.get_undamped_freqs_cached(p, cache)
             sig, damped = osc(freqs, fz)
             return loss_fn(sig, gt, damped, 1.0)
 
@@ -115,10 +117,11 @@ def main():
 
     # warm up (compile) both the step and the on-device refresh
     _log("compiling train step")
-    params, opt_state, loss = step(params, opt_state, eig, gt_audio, forces)
+    params, opt_state, loss = step(params, opt_state, cache, gt_audio, forces)
     jax.block_until_ready(loss)
     _log("train step compiled; compiling LOBPCG refresh")
     eig = model.eigen_decomposition(params, prev=eig)  # compiles LOBPCG
+    cache = model.modal_cache(eig)
     jax.block_until_ready(eig.eigenvalues)
     _log("refresh compiled; timing steady state")
 
@@ -128,7 +131,8 @@ def main():
     for e in range(EPOCHS):
         if e % REFRESH == 0:
             eig = model.eigen_decomposition(params, prev=eig)
-        params, opt_state, loss = step(params, opt_state, eig, gt_audio, forces)
+            cache = model.modal_cache(eig)
+        params, opt_state, loss = step(params, opt_state, cache, gt_audio, forces)
     jax.block_until_ready(loss)
     wall = time.perf_counter() - t0
     iters_per_sec = EPOCHS / wall

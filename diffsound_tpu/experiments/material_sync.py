@@ -124,15 +124,15 @@ class MaterialSyncTask:
         # gt/forces are jit *arguments*: as closure constants XLA would
         # constant-fold their spectrograms through the (glacial)
         # interpreting evaluator at compile time
-        def loss_with(loss_fn, params, eig, gt, fz):
-            freqs = model.get_undamped_freqs(params, eig)
+        def loss_with(loss_fn, params, cache, gt, fz):
+            freqs = model.get_undamped_freqs_cached(params, cache)
             sig, damped = osc(freqs, fz, dtype=self.dtype)
             return loss_fn(sig, gt, damped, 1.0)
 
         @jax.jit
-        def step_early(params, opt_state, eig, gt, fz):
+        def step_early(params, opt_state, cache, gt, fz):
             loss, g = jax.value_and_grad(
-                lambda p: loss_with(early_loss, p, eig, gt, fz)
+                lambda p: loss_with(early_loss, p, cache, gt, fz)
             )(params)
             g = model.bins.mask_grads(g)
             updates, opt_state = opt.update(g, opt_state)
@@ -141,16 +141,16 @@ class MaterialSyncTask:
         opt2 = make_opt(lr_late, 0.95)
 
         @jax.jit
-        def step_late(params, opt_state, eig, gt, fz):
+        def step_late(params, opt_state, cache, gt, fz):
             loss, g = jax.value_and_grad(
-                lambda p: loss_with(late_loss, p, eig, gt, fz)
+                lambda p: loss_with(late_loss, p, cache, gt, fz)
             )(params)
             g = model.bins.mask_grads(g)
             updates, opt_state = opt2.update(g, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
         rmse_eval = jax.jit(
-            lambda p, eig, gt, fz: loss_with(rmse_loss, p, eig, gt, fz)
+            lambda p, cache, gt, fz: loss_with(rmse_loss, p, cache, gt, fz)
         )
 
         ckpt = None
@@ -165,20 +165,22 @@ class MaterialSyncTask:
                 print(f"resumed from checkpoint at epoch {start_epoch}")
 
         eig = None
+        cache = None
         history = []
         t_start = time.perf_counter()
         for epoch in range(start_epoch, max_epoch):
             if epoch % EIGEN_DECOMPOSE_CYCLE == 0:
                 eig = model.eigen_decomposition(params, prev=eig, method=self.solver)
+                cache = model.modal_cache(eig)
             if epoch == early_loss_epoch:
                 opt_state = opt2.init(params)
             if epoch < early_loss_epoch:
                 params, opt_state, loss = step_early(
-                    params, opt_state, eig, gt_audio, forces
+                    params, opt_state, cache, gt_audio, forces
                 )
             else:
                 params, opt_state, loss = step_late(
-                    params, opt_state, eig, gt_audio, forces
+                    params, opt_state, cache, gt_audio, forces
                 )
 
             if ckpt is not None:
@@ -186,7 +188,7 @@ class MaterialSyncTask:
             if epoch % log_every == 0:
                 youngs = float(model.bins.youngs(params))
                 poisson = float(model.bins.poisson(params))
-                rmse = float(rmse_eval(params, eig, gt_audio, forces))
+                rmse = float(rmse_eval(params, cache, gt_audio, forces))
                 rec = {
                     "loss": float(loss), "rmse": rmse, "youngs": youngs,
                     "poisson": poisson, "epoch": epoch,
@@ -207,7 +209,7 @@ class MaterialSyncTask:
             "params": params,
             "youngs": float(model.bins.youngs(params)),
             "poisson": float(model.bins.poisson(params)),
-            "rmse": float(rmse_eval(params, eig, gt_audio, forces)),
+            "rmse": float(rmse_eval(params, cache, gt_audio, forces)),
             "history": history,
             "wall_s": wall,
             "iters_per_sec": max_epoch / wall,

@@ -47,6 +47,24 @@ class EigenState(NamedTuple):
     residual: jax.Array  # (k,)
 
 
+class ModalCache(NamedTuple):
+    """Per-refresh quadratic forms for fixed-geometry material inference.
+
+    K is linear in the Lame scalars (K = mu K_mu + lambda K_lam), so the
+    Rayleigh correction diag(U^T K U) - lam diag(U^T M U) collapses to
+        lam~ = lam + mu q_mu + lambda q_lam - lam q_m
+    with (q_mu, q_lam, q_m) computed ONCE per eigensolve refresh.  The
+    per-step corrected eigenvalues (and their exact material gradients)
+    are then O(mode_num) elementwise work — the reference instead pushes
+    every mode through its full per-gauss-point stress pipeline every
+    epoch (diff_model.py:314-328, 381-386)."""
+
+    eigenvalues: jax.Array  # (k,) detached
+    q_mu: jax.Array  # (k,) diag(U^T K_mu U)
+    q_lam: jax.Array  # (k,) diag(U^T K_lam U)
+    q_m: jax.Array  # (k,) diag(U^T M U)
+
+
 class DiffSoundObject:
     """Differentiable modal sound model bound to one tet mesh.
 
@@ -201,6 +219,40 @@ class DiffSoundObject:
                 key = jax.random.PRNGKey(0)
             x0 = jax.random.normal(key, (self.num_dof, k), self.dtype)
         return self._lobpcg_solve(mu, lam, x0)
+
+    # -- per-refresh quadratic-form cache ----------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _modal_cache(self, eig_eigenvalues, eig_eigenvectors) -> ModalCache:
+        U = eig_eigenvectors
+        ku_mu = assembly.k_matvec(self.ops, U, 1.0, 0.0)
+        ku_lam = assembly.k_matvec(self.ops, U, 0.0, 1.0)
+        mu_ = assembly.m_matvec(self.ops, U, 1.0)
+        return ModalCache(
+            eigenvalues=eig_eigenvalues,
+            q_mu=jnp.sum(U * ku_mu, axis=0),
+            q_lam=jnp.sum(U * ku_lam, axis=0),
+            q_m=jnp.sum(U * mu_, axis=0),
+        )
+
+    def modal_cache(self, eig: EigenState) -> ModalCache:
+        """Quadratic forms for the cached differentiable-eigenvalue path
+        (fixed geometry only)."""
+        return self._modal_cache(
+            jax.lax.stop_gradient(eig.eigenvalues),
+            jax.lax.stop_gradient(eig.eigenvectors),
+        )
+
+    def corrected_eigenvalues_cached(self, params, cache: ModalCache):
+        """lam~ from the cache — exactly equal to the matvec path for
+        isotropic material (K linear in mu, lambda), at O(k) cost."""
+        mu, lam = self.material_lame(params)
+        ev = jax.lax.stop_gradient(cache.eigenvalues)
+        return ev + mu * cache.q_mu + lam * cache.q_lam - ev * cache.q_m
+
+    def get_undamped_freqs_cached(self, params, cache: ModalCache):
+        lams = self.corrected_eigenvalues_cached(params, cache)[self.extra_modes :]
+        return undamped_frequencies(lams)
 
     # -- differentiable eigenvalues / frequencies --------------------------
 

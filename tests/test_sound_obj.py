@@ -118,3 +118,33 @@ class TestBowlMesh:
         fl = np.asarray(obj.get_undamped_freqs({}, eig_l))
         np.testing.assert_allclose(fl, fa, rtol=1e-6)
         assert int(eig_l.iterations) < 30
+
+
+class TestModalCache:
+    def test_cached_equals_matvec_path(self):
+        """The per-refresh quadratic-form cache reproduces the matvec-based
+        corrected eigenvalues and their material gradients exactly (K is
+        linear in mu, lambda)."""
+        obj = small_obj(task="material")
+        params = obj.init_params(jax.random.PRNGKey(0), pretrain=False)
+        eig = obj.eigen_decomposition(params)
+        cache = obj.modal_cache(eig)
+
+        # perturb the material: cache must track without re-solving
+        params2 = jax.tree.map(lambda x: x + 0.1, params)
+        direct = np.asarray(obj.get_vals(params2, eig))
+        cached = np.asarray(
+            obj.corrected_eigenvalues_cached(params2, cache)[obj.extra_modes :]
+        )
+        np.testing.assert_allclose(cached, direct, rtol=1e-10)
+
+        g_direct = jax.grad(lambda p: jnp.sum(obj.get_undamped_freqs(p, eig)))(
+            params2
+        )
+        g_cached = jax.grad(
+            lambda p: jnp.sum(obj.get_undamped_freqs_cached(p, cache))
+        )(params2)
+        for k in g_direct:
+            np.testing.assert_allclose(
+                np.asarray(g_cached[k]), np.asarray(g_direct[k]), rtol=1e-8
+            )

@@ -166,3 +166,42 @@ class MSSLoss:
             )
             total = total + sss(x_pred, x_true, freqs, scale)
         return total
+
+
+# ---------------------------------------------------------------------------
+# Small spectral utility losses (parity: /root/reference/src/utils/utils.py)
+# ---------------------------------------------------------------------------
+
+
+def lsd_loss(spec_pred, spec_true, eps: float = 1e-7):
+    """Log-spectral distance (utils.py:72-77)."""
+    lp = jnp.log10(jnp.abs(spec_pred) + eps)
+    lt = jnp.log10(jnp.abs(spec_true) + eps)
+    return jnp.sqrt(jnp.mean((lp - lt) ** 2))
+
+
+def mode_loss(pred_freqs, gt_freqs):
+    """Nearest-mode relative error + fundamental-frequency term
+    (utils.py:102-109)."""
+    R = (pred_freqs[:, None] - gt_freqs[None, :]) ** 2
+    err = jnp.sqrt(jnp.min(R, axis=0)) / gt_freqs
+    return jnp.mean(err) + jnp.abs(pred_freqs[0] - gt_freqs[0]) / gt_freqs[0]
+
+
+def mel_scale(freq):
+    """Hz -> mel (utils.py:93-96)."""
+    return 2595.0 * jnp.log10(1.0 + freq / 700.0)
+
+
+def inv_mel_scale(mel):
+    return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+
+
+def reconstruct_signal(undamped_freq, damp, sample_num, sample_rate):
+    """Sum of undamped sinusoids at the damped frequencies
+    (utils.py:149-162)."""
+    damped = jnp.sqrt(
+        jnp.maximum((2 * jnp.pi * undamped_freq) ** 2 - damp**2, 0.0)
+    ) / (2 * jnp.pi)
+    t = jnp.arange(sample_num) / sample_rate
+    return jnp.sum(jnp.sin(2 * jnp.pi * damped[:, None] * t[None, :]), axis=0)

@@ -66,19 +66,24 @@ def _sinkhorn_potentials(Cxy, Cyx, loga, logb, eps_schedule):
     return f, g
 
 
-def _eps_schedule(diameter2, blur, scaling, dtype):
-    """Annealed epsilon ladder from the squared diameter down to blur^2."""
-    import numpy as np
+def _eps_schedule(diameter2, blur, scaling, dtype, steps: int = 32):
+    """Annealed epsilon ladder from the (traced) squared diameter down to
+    blur^2, with a static number of steps: extra steps clamp at the target
+    epsilon and are harmless no-ops, so the ladder adapts to the data
+    scale (geomloss computes its diameter from the data too — a fixed
+    guess explodes in f32 when spectrogram features span 1e5)."""
+    eps_end = jnp.asarray(float(blur) ** 2, dtype)
+    eps_start = jnp.maximum(jnp.asarray(diameter2, dtype), eps_end)
+    t = jnp.arange(steps, dtype=dtype)
+    return jnp.maximum(eps_end, eps_start * (scaling**2) ** t)
 
-    eps_start = max(float(diameter2), float(blur) ** 2)
-    eps_end = float(blur) ** 2
-    if eps_start <= eps_end:
-        return jnp.asarray([eps_end], dtype)
-    n = int(np.ceil(np.log(eps_end / eps_start) / np.log(scaling**2))) + 1
-    sched = eps_start * (scaling**2) ** np.arange(n)
-    sched = np.clip(sched, eps_end, None)
-    sched[-1] = eps_end
-    return jnp.asarray(sched, dtype)
+
+def _diameter2(x, y):
+    """Squared-diameter upper bound of the joint cloud (sum of per-dim
+    squared ranges)."""
+    lo = jnp.minimum(jnp.min(x, axis=0), jnp.min(y, axis=0))
+    hi = jnp.maximum(jnp.max(x, axis=0), jnp.max(y, axis=0))
+    return jnp.sum((hi - lo) ** 2)
 
 
 def sinkhorn_divergence(
@@ -86,16 +91,14 @@ def sinkhorn_divergence(
     y: jnp.ndarray,
     blur: float = 0.01,
     scaling: float = 0.5,
-    diameter: float = 1.5,
 ) -> jnp.ndarray:
     """Debiased Sinkhorn divergence between uniform point clouds x (n, d)
-    and y (m, d).  `diameter` bounds the point-cloud extent (static, for
-    the epsilon ladder)."""
+    and y (m, d); the epsilon ladder adapts to the cloud diameter."""
     dtype = x.dtype
     n, m = x.shape[0], y.shape[0]
     loga = jnp.full((n,), -jnp.log(n), dtype)
     logb = jnp.full((m,), -jnp.log(m), dtype)
-    sched = _eps_schedule(diameter**2, blur, scaling, dtype)
+    sched = _eps_schedule(jax.lax.stop_gradient(_diameter2(x, y)), blur, scaling, dtype)
 
     Cxy = _cost(x, y)
     f_ab, g_ab = _sinkhorn_potentials(Cxy, Cxy.T, loga, logb, sched)

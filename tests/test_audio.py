@@ -240,3 +240,44 @@ class TestSplitPhase:
         g = float(jax.grad(f)(jnp.asarray(440.0, jnp.float32)))
         # sum over n of n/sr = 5050/32000
         assert abs(g - 5050.0 / 32000.0) < 1e-3
+
+
+class TestUtilityLosses:
+    def test_lsd_and_mode_loss(self):
+        from diffsound_tpu.audio.mss_loss import (
+            inv_mel_scale,
+            lsd_loss,
+            mel_scale,
+            mode_loss,
+            reconstruct_signal,
+        )
+
+        s = jnp.ones((8, 10))
+        assert float(lsd_loss(s, s)) == 0.0
+        assert float(lsd_loss(10 * s, s)) > 0.9
+
+        f = jnp.asarray([100.0, 200.0, 400.0])
+        assert float(mode_loss(f, f)) < 1e-6
+        assert float(mode_loss(f * 1.1, f)) > 0.0
+
+        assert abs(float(inv_mel_scale(mel_scale(440.0))) - 440.0) < 1e-3
+
+        sig = reconstruct_signal(jnp.asarray([440.0]), jnp.asarray([0.0]), 100, 16000)
+        assert sig.shape == (100,)
+
+
+class TestPallasSynth:
+    def test_matches_xla_path_interpreted(self):
+        from diffsound_tpu.audio.pallas_osc import pallas_synth
+        from diffsound_tpu.audio.oscillator import synth_constant_modes
+
+        rng = np.random.default_rng(0)
+        A, M, T, sr = 2, 16, 1000, 32000.0
+        freqs = jnp.asarray(rng.uniform(100, 8000, (A, M)).astype(np.float32))
+        damps = jnp.asarray(rng.uniform(1, 100, (A, M)).astype(np.float32))
+        amps = jnp.asarray(rng.uniform(0.1, 1, (A, M)).astype(np.float32))
+        ref = np.asarray(synth_constant_modes(freqs, damps, amps, T, sr))
+        out = np.asarray(
+            pallas_synth(freqs, damps, amps, T, sr, block_t=256, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, atol=5e-5)

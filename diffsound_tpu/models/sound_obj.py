@@ -165,12 +165,21 @@ class DiffSoundObject:
         # frequencies at this floor.  A tighter tol burns the whole
         # iteration budget chasing roundoff; warm refreshes then exit in
         # a few iterations.
+        # The f32 warm path also carries/rotates the A S, B S products
+        # (reuse_products): short refreshes never accumulate enough
+        # rotation roundoff to matter at the 1e-3 tolerance, and matvec
+        # columns per iteration drop from 5m to 2m.
         res = lobpcg(
             a_fn,
             b_fn,
             x0 / dsc[:, None],
             max_iters=40 if self.dtype == jnp.float32 else 300,
-            tol=1e-3 if self.dtype == jnp.float32 else 1e-9,
+            # f64 tol sits just above the pencil's residual noise floor
+            # (measured ~2e-8 right after a warm start on the bowl; 1e-9
+            # burns ~40 extra iterations hovering in roundoff).  Ritz
+            # error is O(residual^2), so eigenvalues are ~1e-15 relative.
+            tol=1e-3 if self.dtype == jnp.float32 else 1e-8,
+            reuse_products=self.dtype == jnp.float32,
         )
         vecs = dsc[:, None] * res.eigenvectors
         return EigenState(

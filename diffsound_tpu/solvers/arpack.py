@@ -19,6 +19,10 @@ def eigsh_shift_invert(K, M, k: int, sigma: float = 20000.0):
     """
     import scipy.sparse.linalg as spla
 
-    vals, vecs = spla.eigsh(K, M=M, k=k, sigma=sigma)
+    # Fixed start vector: ARPACK otherwise seeds from global RNG state,
+    # which makes solves (and anything warm-started from them, e.g. the
+    # device LOBPCG refresh iteration count) run-to-run nondeterministic.
+    v0 = np.random.default_rng(0).standard_normal(K.shape[0])
+    vals, vecs = spla.eigsh(K, M=M, k=k, sigma=sigma, v0=v0)
     order = np.argsort(vals)
     return vals[order], vecs[:, order]

@@ -145,7 +145,10 @@ class LobpcgResult(NamedTuple):
 
 
 def _b_orthonormalize(S, BS, gram_dtype):
-    """Two-pass Cholesky-QR in the B inner product. Returns (S, BS)."""
+    """Two-pass Cholesky-QR in the B inner product.
+
+    Returns (S', BS', Q) with S' = S Q so callers can rotate any other
+    cached operator products (e.g. A S) by the same right factor."""
 
     def one_pass(S, BS):
         G = precise_matmul(S.T, BS).astype(gram_dtype)
@@ -158,13 +161,15 @@ def _b_orthonormalize(S, BS, gram_dtype):
         Linv_t = _chol_inv_t(
             G + (10.0 * m * eps) * jnp.eye(m, dtype=gram_dtype)
         ).astype(S.dtype)
-        Sd = S * d[None, :].astype(S.dtype)
-        BSd = BS * d[None, :].astype(S.dtype)
-        return precise_matmul(Sd, Linv_t), precise_matmul(BSd, Linv_t)
+        dc = d.astype(S.dtype)
+        Q = dc[:, None] * Linv_t
+        Sd = S * dc[None, :]
+        BSd = BS * dc[None, :]
+        return precise_matmul(Sd, Linv_t), precise_matmul(BSd, Linv_t), Q
 
-    S, BS = one_pass(S, BS)
-    S, BS = one_pass(S, BS)
-    return S, BS
+    S, BS, Q1 = one_pass(S, BS)
+    S, BS, Q2 = one_pass(S, BS)
+    return S, BS, precise_matmul(Q1, Q2)
 
 
 def lobpcg(
@@ -176,6 +181,7 @@ def lobpcg(
     tol: float = 1e-6,
     gram_dtype=None,
     seed: int = 0,
+    reuse_products: bool = False,
 ) -> LobpcgResult:
     """Compute the m smallest eigenpairs of A x = lambda B x.
 
@@ -183,6 +189,16 @@ def lobpcg(
     x0: (n, m) initial block (warm starts dramatically reduce iterations in
         training loops where the operator changes slowly between solves).
     precond_fn: approximate inverse of A (e.g. inverse diagonal).
+    reuse_products: carry A S / B S across iterations and rotate them with
+        the basis instead of re-applying the operators (the products are
+        linear in S), cutting matvec columns from 5m to 2m per iteration.
+        Rotation roundoff accumulates, so this is for SHORT warm-start
+        refreshes (tol >= ~1e-4, <~50 iterations) — the training-loop hot
+        path.  Cold high-accuracy solves must use the default recompute
+        body: near convergence the normalized residual directions become
+        linearly dependent with span(X, P), the CholQR right factor blows
+        up (~1e15 after ~100 iterations), and the carried products lose
+        all significance (NaN well before a 1e-9 tolerance is reached).
     """
     n, m = x0.shape
     dtype = x0.dtype
@@ -194,19 +210,11 @@ def lobpcg(
     key = jax.random.PRNGKey(seed)
     p0 = jax.random.normal(key, (n, m), dtype=dtype)
 
-    def rr(S, BS):
-        """Rayleigh-Ritz on a B-orthonormal basis S: returns ascending ritz
-        values (3m,) and vectors Z (3m, 3m) in the S coordinates."""
-        AS = a_fn(S)
-        G = precise_matmul(S.T, AS).astype(gram_dtype)
-        G = 0.5 * (G + G.T)
-        theta, Z = _sym_eigh(G)
-        return theta.astype(dtype), Z.astype(dtype), AS
-
     def body(state):
-        X, P, theta, _, it = state
-        AX = a_fn(X)
-        BX = b_fn(X)
+        X, AX, BX, P, AP, BP, theta, _, it = state
+        if not reuse_products:
+            AX = a_fn(X)
+            BX = b_fn(X)
         R = AX - BX * theta[None, :]
 
         # Relative residuals (computed before the step, reported at exit).
@@ -220,36 +228,88 @@ def lobpcg(
         rel = rn / jnp.maximum(scale, jnp.finfo(dtype).tiny)
 
         W = precond_fn(R)
-        S = jnp.concatenate([X, W, P], axis=1)  # (n, 3m)
-        BS = b_fn(S)
-        S, BS = _b_orthonormalize(S, BS, gram_dtype)
-        ritz, Z, _ = rr(S, BS)
+        if reuse_products:
+            # Column-normalize; replace (near-)dead residual directions
+            # with fresh random vectors — after convergence W -> 0 and a
+            # degenerate basis otherwise corrupts the carried products
+            # within ~20 more iterations.
+            wn = jnp.linalg.norm(W, axis=0)
+            fresh = jax.random.normal(
+                jax.random.fold_in(key, it), W.shape, dtype
+            )
+            fresh = fresh * jax.lax.rsqrt(jnp.sum(fresh * fresh, axis=0))
+            alive = wn > jnp.asarray(jnp.finfo(dtype).tiny, dtype) ** 0.5
+            W = jnp.where(
+                alive[None, :], W / jnp.maximum(wn, jnp.finfo(dtype).tiny)[None, :], fresh
+            )
+            # The ONLY operator applications this iteration: A W and B W.
+            AW = a_fn(W)
+            BW = b_fn(W)
+            S = jnp.concatenate([X, W, P], axis=1)  # (n, 3m)
+            AS = jnp.concatenate([AX, AW, AP], axis=1)
+            BS = jnp.concatenate([BX, BW, BP], axis=1)
+            S, BS, Q = _b_orthonormalize(S, BS, gram_dtype)
+            AS = precise_matmul(AS, Q)
+        else:
+            S = jnp.concatenate([X, W, P], axis=1)  # (n, 3m)
+            BS = b_fn(S)
+            S, BS, _ = _b_orthonormalize(S, BS, gram_dtype)
+            AS = a_fn(S)
+
+        G = precise_matmul(S.T, AS).astype(gram_dtype)
+        G = 0.5 * (G + G.T)
+        ritz, Z = _sym_eigh(G)
+        ritz = ritz.astype(dtype)
+        Z = Z.astype(dtype)
 
         Zm = Z[:, :m]
-        Xn = precise_matmul(S, Zm)
         # "ortho" conjugate-direction update: drop the X-block component.
         Zp = Zm.at[:m, :].set(0.0)
+        Xn = precise_matmul(S, Zm)
         Pn = precise_matmul(S, Zp)
-        return Xn, Pn, ritz[:m], rel, it + 1
+        if reuse_products:
+            AXn = precise_matmul(AS, Zm)
+            BXn = precise_matmul(BS, Zm)
+            APn = precise_matmul(AS, Zp)
+            BPn = precise_matmul(BS, Zp)
+            # periodic re-anchoring (rotation roundoff otherwise
+            # accumulates over long solves)
+            AXn, BXn = jax.lax.cond(
+                (it + 1) % 16 == 0,
+                lambda: (a_fn(Xn), b_fn(Xn)),
+                lambda: (AXn, BXn),
+            )
+        else:
+            # recompute mode: AX/BX are rebuilt from Xn at the top of the
+            # next iteration; carry placeholders through unchanged.
+            AXn, BXn, APn, BPn = AX, BX, AP, BP
+        return Xn, AXn, BXn, Pn, APn, BPn, ritz[:m], rel, it + 1
 
     def cond(state):
-        _, _, _, rel, it = state
+        rel, it = state[-2], state[-1]
         return jnp.logical_and(it < max_iters, jnp.max(rel) > tol)
 
     # Initialize: B-orthonormalize X0 and take its Ritz approximation.
     BX0 = b_fn(x0)
-    X, BX = _b_orthonormalize(x0, BX0, gram_dtype)
+    X, BX, _ = _b_orthonormalize(x0, BX0, gram_dtype)
     AX = a_fn(X)
     G0 = precise_matmul(X.T, AX).astype(gram_dtype)
     G0 = 0.5 * (G0 + G0.T)
     th0, Z0 = _sym_eigh(G0)
-    X = precise_matmul(X, Z0.astype(dtype))
+    Z0 = Z0.astype(dtype)
+    X = precise_matmul(X, Z0)
+    AX = precise_matmul(AX, Z0)
+    BX = precise_matmul(BX, Z0)
     theta0 = th0.astype(dtype)
+    AP0 = a_fn(p0)
+    BP0 = b_fn(p0)
 
-    init = (X, p0, theta0, jnp.full((m,), jnp.inf, dtype=dtype), jnp.array(0))
-    X, P, theta, rel, it = jax.lax.while_loop(cond, body, init)
+    init = (
+        X, AX, BX, p0, AP0, BP0, theta0,
+        jnp.full((m,), jnp.inf, dtype=dtype), jnp.array(0),
+    )
+    X, AX, BX, P, AP, BP, theta, rel, it = jax.lax.while_loop(cond, body, init)
 
-    # One final Ritz pass so returned pairs are consistent with `theta`.
     return LobpcgResult(
         eigenvalues=theta, eigenvectors=X, iterations=it, residual_norms=rel
     )

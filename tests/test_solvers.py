@@ -85,6 +85,34 @@ class TestLobpcg:
         )
         assert int(res2.iterations) < int(res.iterations) / 2
 
+    def test_reuse_products_warm_refresh(self):
+        """The carried-products body (reuse_products=True, the training-loop
+        hot path) reaches the same Ritz values as the recompute body on a
+        warm-started refresh at the production tolerance."""
+        mesh, ops, mu, lam, density = make_problem(order=1, n=3)
+        a_fn = lambda x: assembly.k_matvec(ops, x, mu, lam)
+        b_fn = lambda x: assembly.m_matvec(ops, x, density)
+        pc = jacobi_preconditioner(assembly.k_diag(ops, mu, lam))
+        rng = np.random.default_rng(4)
+        x0 = jnp.asarray(rng.standard_normal((3 * mesh.num_vertices, 10)))
+        cold = lobpcg(a_fn, b_fn, x0, precond_fn=pc, max_iters=400, tol=1e-8)
+
+        mu2, lam2 = mu * 1.02, lam * 1.02
+        a2 = lambda x: assembly.k_matvec(ops, x, mu2, lam2)
+        ref = lobpcg(
+            a2, b_fn, cold.eigenvectors, precond_fn=pc, max_iters=40, tol=1e-6
+        )
+        fast = lobpcg(
+            a2, b_fn, cold.eigenvectors, precond_fn=pc, max_iters=40,
+            tol=1e-6, reuse_products=True,
+        )
+        scale = float(np.abs(np.asarray(ref.eigenvalues)).max())
+        np.testing.assert_allclose(
+            np.asarray(fast.eigenvalues) / scale,
+            np.asarray(ref.eigenvalues) / scale,
+            atol=1e-6,
+        )
+
     def test_f32_modes_accurate(self):
         """f32 solve (TPU production dtype) reaches ~1e-4 relative accuracy."""
         mesh = cube_tet_mesh(3)

@@ -16,6 +16,7 @@ vs_baseline = ours / that upper bound, i.e. a LOWER bound on the true
 speedup.
 """
 
+import functools
 import json
 import os
 import sys
@@ -103,8 +104,7 @@ def main():
 
     # gt/forces as jit arguments: closure constants would be constant-
     # folded through XLA's interpreting evaluator (minutes per FFT chain)
-    @jax.jit
-    def step(params, opt_state, cache, gt, fz):
+    def one_step(params, opt_state, cache, gt, fz):
         def lf(p):
             freqs = model.get_undamped_freqs_cached(p, cache)
             sig, damped = osc(freqs, fz)
@@ -115,24 +115,45 @@ def main():
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # a whole refresh interval of steps in ONE dispatch (lax.scan): the
+    # tunneled chip pays ~25 ms relay RTT per call, which would otherwise
+    # dominate the O(modes) cached step (same structure as the trainer,
+    # experiments/material_sync.py)
+    @functools.partial(jax.jit, static_argnums=5)
+    def step(params, opt_state, cache, gt, fz, n=1):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = one_step(p, o, cache, gt, fz)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n
+        )
+        return params, opt_state, losses[-1]
+
     # warm up (compile) both the step and the on-device refresh
     _log("compiling train step")
-    params, opt_state, loss = step(params, opt_state, cache, gt_audio, forces)
+    params, opt_state, loss = step(
+        params, opt_state, cache, gt_audio, forces, REFRESH
+    )
     jax.block_until_ready(loss)
     _log("train step compiled; compiling LOBPCG refresh")
-    eig = model.eigen_decomposition(params, prev=eig)  # compiles LOBPCG
-    cache = model.modal_cache(eig)
+    eig, cache = model.refresh(params, eig)  # compiles fused solve+cache
     jax.block_until_ready(eig.eigenvalues)
     _log("refresh compiled; timing steady state")
 
-    # timed steady state: epochs with refresh every REFRESH epochs
-    EPOCHS = 60
+    # timed steady state: fused refresh dispatch then one scanned dispatch
+    # of REFRESH optimizer steps, exactly like the trainer's epoch loop.
+    # Enough cycles that the early large-drift refreshes (which run the
+    # solver longer) don't dominate the steady-state number.
+    CYCLES = 10
+    EPOCHS = CYCLES * REFRESH
     t0 = time.perf_counter()
-    for e in range(EPOCHS):
-        if e % REFRESH == 0:
-            eig = model.eigen_decomposition(params, prev=eig)
-            cache = model.modal_cache(eig)
-        params, opt_state, loss = step(params, opt_state, cache, gt_audio, forces)
+    for _ in range(CYCLES):
+        eig, cache = model.refresh(params, eig)
+        params, opt_state, loss = step(
+            params, opt_state, cache, gt_audio, forces, REFRESH
+        )
     jax.block_until_ready(loss)
     wall = time.perf_counter() - t0
     iters_per_sec = EPOCHS / wall

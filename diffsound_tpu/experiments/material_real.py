@@ -224,6 +224,7 @@ def main(argv=None):
     bank, pre_params = fit_gt_oscillator(
         jnp.asarray(gt_audio, jnp.float32), forces,
         flags.mode_num * 16, flags.sample_rate, mat,
+        iters=getattr(flags, "gt_iters", 2001),
     )
     curve = extract_damping_curve(bank, pre_params)
 

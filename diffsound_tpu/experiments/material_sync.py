@@ -129,25 +129,36 @@ class MaterialSyncTask:
             sig, damped = osc(freqs, fz, dtype=self.dtype)
             return loss_fn(sig, gt, damped, 1.0)
 
-        @jax.jit
-        def step_early(params, opt_state, cache, gt, fz):
-            loss, g = jax.value_and_grad(
-                lambda p: loss_with(early_loss, p, cache, gt, fz)
-            )(params)
-            g = model.bins.mask_grads(g)
-            updates, opt_state = opt.update(g, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
-
         opt2 = make_opt(lr_late, 0.95)
 
-        @jax.jit
-        def step_late(params, opt_state, cache, gt, fz):
-            loss, g = jax.value_and_grad(
-                lambda p: loss_with(late_loss, p, cache, gt, fz)
-            )(params)
-            g = model.bins.mask_grads(g)
-            updates, opt_state = opt2.update(g, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
+        def make_step(loss_obj, optimizer):
+            def step(params, opt_state, cache, gt, fz):
+                loss, g = jax.value_and_grad(
+                    lambda p: loss_with(loss_obj, p, cache, gt, fz)
+                )(params)
+                g = model.bins.mask_grads(g)
+                updates, opt_state = optimizer.update(g, opt_state)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            # n steps in ONE device dispatch: the tunneled TPU pays
+            # ~25 ms relay round trip per call, which dominates the
+            # O(modes) cached step.  Scanning a whole refresh interval
+            # amortizes that to one RTT per EIGEN_DECOMPOSE_CYCLE.
+            def scanned(params, opt_state, cache, gt, fz, n):
+                def body(carry, _):
+                    p, o = carry
+                    p, o, loss = step(p, o, cache, gt, fz)
+                    return (p, o), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), None, length=n
+                )
+                return params, opt_state, losses
+
+            return jax.jit(scanned, static_argnums=5)
+
+        step_early = make_step(early_loss, opt)
+        step_late = make_step(late_loss, opt2)
 
         rmse_eval = jax.jit(
             lambda p, cache, gt, fz: loss_with(rmse_loss, p, cache, gt, fz)
@@ -168,40 +179,66 @@ class MaterialSyncTask:
         cache = None
         history = []
         t_start = time.perf_counter()
-        for epoch in range(start_epoch, max_epoch):
-            if epoch % EIGEN_DECOMPOSE_CYCLE == 0:
-                eig = model.eigen_decomposition(params, prev=eig, method=self.solver)
-                cache = model.modal_cache(eig)
+
+        def next_boundary(e):
+            """First epoch > e where host work is due (refresh / phase
+            switch / logging / checkpoint / end) — everything between runs
+            as one scanned device dispatch."""
+            cands = [max_epoch]
+            for period in (EIGEN_DECOMPOSE_CYCLE, log_every):
+                cands.append((e // period + 1) * period)
+            if ckpt is not None:
+                cands.append((e // checkpoint_every + 1) * checkpoint_every)
+            if e < early_loss_epoch:
+                cands.append(early_loss_epoch)
+            return min(c for c in cands if c > e)
+
+        epoch = start_epoch
+        while epoch < max_epoch:
+            if epoch % EIGEN_DECOMPOSE_CYCLE == 0 or eig is None:
+                if eig is not None and self.solver != "arpack":
+                    # warm path: solve + cache fused into one dispatch
+                    eig, cache = model.refresh(params, eig)
+                else:
+                    eig = model.eigen_decomposition(
+                        params, prev=eig, method=self.solver
+                    )
+                    cache = model.modal_cache(eig)
             if epoch == early_loss_epoch:
                 opt_state = opt2.init(params)
-            if epoch < early_loss_epoch:
-                params, opt_state, loss = step_early(
-                    params, opt_state, cache, gt_audio, forces
-                )
-            else:
-                params, opt_state, loss = step_late(
-                    params, opt_state, cache, gt_audio, forces
-                )
+            log_this = epoch % log_every == 0  # same epochs the per-step
+            log_epoch = epoch  # loop logged; its loss is losses[0]
+            n = next_boundary(epoch) - epoch
+            step_fn = step_early if epoch < early_loss_epoch else step_late
+            params, opt_state, losses = step_fn(
+                params, opt_state, cache, gt_audio, forces, n
+            )
+            epoch += n
 
             if ckpt is not None:
+                # `epoch` is now the count of completed epochs (chunk ends
+                # are aligned to checkpoint_every); a restore resumes at
+                # exactly this epoch with no step re-run.
                 ckpt.maybe_save(epoch, params, opt_state)
-            if epoch % log_every == 0:
+            if log_this:
+                loss = losses[0]
                 youngs = float(model.bins.youngs(params))
                 poisson = float(model.bins.poisson(params))
                 rmse = float(rmse_eval(params, cache, gt_audio, forces))
                 rec = {
                     "loss": float(loss), "rmse": rmse, "youngs": youngs,
-                    "poisson": poisson, "epoch": epoch,
+                    "poisson": poisson, "epoch": log_epoch,
                 }
                 history.append(rec)
                 if logger:
                     logger.scalars(
-                        {k: v for k, v in rec.items() if k != "epoch"}, epoch
+                        {k: v for k, v in rec.items() if k != "epoch"},
+                        log_epoch,
                     )
                 if verbose:
                     print(
-                        f"epoch {epoch}: loss {float(loss):.5f} rmse {rmse:.4f} "
-                        f"E {youngs:.4g} nu {poisson:.4f}"
+                        f"epoch {log_epoch}: loss {float(loss):.5f} "
+                        f"rmse {rmse:.4f} E {youngs:.4g} nu {poisson:.4f}"
                     )
         wall = time.perf_counter() - t_start
 

@@ -80,6 +80,39 @@ def precise_einsum(eq: str, A: jax.Array, B: jax.Array, terms: int = 3):
     return out
 
 
+def presplit(x: jax.Array, terms: int = 3):
+    """Split an operand ONCE for repeated `precise_einsum_presplit` calls.
+
+    Splitting is elementwise over the full array — for the (E, 3N, 3N)
+    element blocks that's ~2x the einsum's own HBM traffic, so re-splitting
+    a loop-invariant operand every solver iteration dominates the matvec
+    (measured 15 ms -> 2.6 ms/iteration on the bowl once hoisted).  XLA
+    does NOT hoist it out of `while_loop` bodies on its own; callers that
+    apply an operator inside a loop should presplit outside.
+
+    Returns a 1-tuple (the array unchanged) when the split path is off
+    (CPU / non-f32), mirroring precise_einsum's fall-through."""
+    if x.dtype != jnp.float32 or not _use_split():
+        return (x,)
+    return tuple(_bf16_parts(x, terms))
+
+
+def precise_einsum_presplit(eq: str, A_parts, B: jax.Array):
+    """einsum(eq, A, B) where A was pre-split with `presplit`."""
+    if len(A_parts) == 1:
+        return jnp.einsum(eq, A_parts[0], B)
+    terms = len(A_parts)
+    Bs = _bf16_parts(B.astype(jnp.float32), terms)
+    out = None
+    for i in range(terms):
+        for j in range(terms):
+            if i + j >= terms:
+                continue
+            p = jnp.einsum(eq, A_parts[i], Bs[j])
+            out = p if out is None else out + p
+    return out
+
+
 def precise_matmul(A: jax.Array, B: jax.Array, terms: int = 3):
     """A @ B (2D) with f32-grade accuracy on TPU MXUs."""
     if A.dtype != jnp.float32 or B.dtype != jnp.float32 or not _use_split():

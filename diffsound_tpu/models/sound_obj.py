@@ -156,7 +156,12 @@ class DiffSoundObject:
     def _lobpcg_solve(self, mu, lam, x0):
         d = assembly.k_diag(self.ops, mu, lam)
         dsc = jax.lax.rsqrt(jnp.maximum(d, jnp.finfo(self.dtype).tiny))
-        kf, mf = self._k_fn(mu, lam), self._m_fn()
+        # freeze the material into the element blocks once per solve —
+        # everything below the while_loop then reuses the pre-split
+        # operator (XLA does not hoist the recombine+split on its own)
+        fz = assembly.freeze_stiffness(self.ops, mu, lam)
+        kf = lambda y: assembly.k_matvec_frozen(self.ops, fz, y)
+        mf = self._m_fn()
         a_fn = lambda y: dsc[:, None] * kf(dsc[:, None] * y)
         b_fn = lambda y: dsc[:, None] * mf(dsc[:, None] * y)
         # f32 tolerance sits just above the matvec noise floor (measured
@@ -243,6 +248,25 @@ class DiffSoundObject:
             q_lam=jnp.sum(U * ku_lam, axis=0),
             q_m=jnp.sum(U * mu_, axis=0),
         )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _refresh_fused(self, params, x0):
+        mu, lam = jax.lax.stop_gradient(self.material_lame(params))
+        eig = self._lobpcg_solve(mu, lam, x0)
+        cache = self._modal_cache(
+            jax.lax.stop_gradient(eig.eigenvalues),
+            jax.lax.stop_gradient(eig.eigenvectors),
+        )
+        return eig, cache
+
+    def refresh(self, params, prev: EigenState):
+        """Warm LOBPCG refresh + modal cache in ONE device dispatch.
+
+        The training loop's hot refresh: the tunneled chip pays ~30 ms
+        relay round trip per dispatch, and the eager
+        eigen_decomposition -> modal_cache sequence costs several
+        (material_lame small ops, solve, cache).  Fusing them leaves one."""
+        return self._refresh_fused(params, prev.eigenvectors)
 
     def modal_cache(self, eig: EigenState) -> ModalCache:
         """Quadratic forms for the cached differentiable-eigenvalue path

@@ -312,6 +312,7 @@ class GTOscillatorBank:
     mat: Material
     f_range: tuple = (20.0, 16000.0)
     bin_num: int = 64
+    use_nonlinear: bool = False
 
     def _freq_values(self):
         return np.asarray(self.f_range, dtype=np.float64)
@@ -319,9 +320,9 @@ class GTOscillatorBank:
     def init_params(self, key, dtype=jnp.float32):
         from .filtered_noise import FilteredNoise
 
-        k = jax.random.split(key, 5)
+        k = jax.random.split(key, 6)
         noise = FilteredNoise(self.audio_num, self.sample_num)
-        return {
+        params = {
             "freq_logits": jax.random.uniform(
                 k[0], (self.mode_num, len(self.f_range)), dtype, -4.0, 4.0
             ),
@@ -336,6 +337,17 @@ class GTOscillatorBank:
             ),
             "noise": noise.init_params(k[4], dtype),
         }
+        if self.use_nonlinear:
+            # Per-sample trainable frequency deviation, the reference's
+            # `freq_nonlinear` WeightedSum([A, M, T], f_range)
+            # (oscillator.py:186-188); only allocated when requested —
+            # (A, M, T, |f_range|) is the dominant parameter block.
+            params["nl_freq_logits"] = jax.random.uniform(
+                k[5],
+                (self.audio_num, self.mode_num, self.sample_num, len(self.f_range)),
+                dtype, -4.0, 4.0,
+            )
+        return params
 
     def _ab_values(self, dtype):
         av = jnp.asarray(log_bins(self.mat.alpha, 0.1, 100.0, self.bin_num), dtype)
@@ -356,25 +368,45 @@ class GTOscillatorBank:
         b = weighted_value(params["beta_logits"], bv)
         return rayleigh_damping(a, b, lbd)
 
-    def __call__(self, params, forces=None, noise_rate=0.0, key=None):
+    def __call__(self, params, forces=None, noise_rate=0.0, key=None,
+                 non_linear_rate=0.0):
         from .filtered_noise import FilteredNoise
 
         dtype = params["amp_raw"].dtype
         f = self.freq_linear(params).reshape(1, self.mode_num).astype(dtype)
-        lbd = (2.0 * jnp.pi * f) ** 2
         av, bv = self._ab_values(dtype)
         a = weighted_value(params["alpha_logits"], av)[None, :]
         b = weighted_value(params["beta_logits"], bv)[None, :]
-        damp = rayleigh_damping(a, b, lbd)
-        fd = damped_frequency(f, damp)
         amps = modified_sigmoid(params["amp_raw"])
-        fd_b = jnp.broadcast_to(fd, amps.shape)
-        damp_b = jnp.broadcast_to(damp, amps.shape)
-        sig = synth_constant_modes(fd_b, damp_b, amps, self.sample_num, self.sr, forces)
+        if non_linear_rate > 0.0 and "nl_freq_logits" in params:
+            # Nonlinear path (reference oscillator.py:218-231): undamped
+            # freq = linear + rate * per-sample deviation; damping and
+            # damped frequency become per-sample, so synthesis goes
+            # through the cumsum recurrence instead of the closed form.
+            f_nl = weighted_value(
+                params["nl_freq_logits"],
+                jnp.asarray(self._freq_values(), dtype),
+            )  # (A, M, T)
+            f_u = f[..., None] + non_linear_rate * f_nl
+            lbd = (2.0 * jnp.pi * f_u) ** 2
+            damp = rayleigh_damping(a[..., None], b[..., None], lbd)
+            fd = jnp.sqrt(jnp.maximum(lbd - damp**2, 1e-12)) / (2.0 * jnp.pi)
+            sig = synth_time_varying(fd, damp, amps[..., None], self.sr, forces)
+            fd_report = jnp.mean(fd[0], axis=-1)
+        else:
+            lbd = (2.0 * jnp.pi * f) ** 2
+            damp = rayleigh_damping(a, b, lbd)
+            fd = damped_frequency(f, damp)
+            fd_b = jnp.broadcast_to(fd, amps.shape)
+            damp_b = jnp.broadcast_to(damp, amps.shape)
+            sig = synth_constant_modes(
+                fd_b, damp_b, amps, self.sample_num, self.sr, forces
+            )
+            fd_report = fd[0]
         if noise_rate > 0.0:
             noise = FilteredNoise(self.audio_num, self.sample_num)
             sig = sig + noise_rate * noise(params["noise"], key)
-        return sig, fd[0]
+        return sig, fd_report
 
 
 def synth_signal(freqs, damps, amps, num_samples, sr, forces=None):

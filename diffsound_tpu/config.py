@@ -13,7 +13,7 @@ def parse_flags(description: str = "diffsound-tpu", defaults: dict = None, argv=
     parser.add_argument("--config", type=str, default=None, help="Config file")
     parser.add_argument("-i", "--iter", type=int, default=5000)
     parser.add_argument("-lr", "--learning-rate", type=float, default=0.01)
-    flags = parser.parse_args(argv)
+    flags, extra = parser.parse_known_args(argv)
 
     if defaults:
         for k, v in defaults.items():
@@ -23,6 +23,23 @@ def parse_flags(description: str = "diffsound-tpu", defaults: dict = None, argv=
         with open(flags.config) as f:
             for key, val in json.load(f).items():
                 flags.__dict__[key] = val
+
+    # `--key value` overrides applied after the JSON merge (values parsed
+    # as JSON when possible so numbers/bools round-trip).
+    it = iter(extra)
+    for tok in it:
+        if not tok.startswith("--"):
+            raise SystemExit(f"unrecognized argument: {tok}")
+        key = tok[2:]
+        try:
+            raw = next(it)
+        except StopIteration:
+            raise SystemExit(f"missing value for --{key}")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        flags.__dict__[key] = val
 
     print("Config / Flags:")
     print("---------")

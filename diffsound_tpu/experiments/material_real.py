@@ -44,12 +44,17 @@ def fit_gt_oscillator(
     iters: int = 2001,
     lr: float = 5e-3,
     noise_rate: float = 2e-4,
+    non_linear_rate: float = 0.0,
     seed: int = 0,
     verbose: bool = True,
 ):
-    """Stage 1 (material_real_train.py:113-133)."""
+    """Stage 1 (material_real_train.py:113-133).  `non_linear_rate` > 0
+    enables the per-sample nonlinear frequency term (the reference's
+    `freq_nonlinear`, oscillator.py:186-188,218-224)."""
     A, T = gt_audio.shape
-    bank = GTOscillatorBank(A, mode_num, T, sample_rate, mat)
+    bank = GTOscillatorBank(
+        A, mode_num, T, sample_rate, mat, use_nonlinear=non_linear_rate > 0.0
+    )
     params = bank.init_params(jax.random.PRNGKey(seed))
     loss_fn = MSSLoss([512, 256, 128, 64, 32], sample_rate, loss_type="l1_loss")
     sched = optax.exponential_decay(lr, 100, 0.99, staircase=True)
@@ -59,7 +64,10 @@ def fit_gt_oscillator(
     @jax.jit
     def step(params, opt_state, key, gt, fz):
         def lf(p):
-            sig, _ = bank(p, fz, noise_rate=noise_rate, key=key)
+            sig, _ = bank(
+                p, fz, noise_rate=noise_rate, key=key,
+                non_linear_rate=non_linear_rate,
+            )
             return loss_fn(sig, gt)
 
         loss, g = jax.value_and_grad(lf)(params)
@@ -225,6 +233,7 @@ def main(argv=None):
         jnp.asarray(gt_audio, jnp.float32), forces,
         flags.mode_num * 16, flags.sample_rate, mat,
         iters=getattr(flags, "gt_iters", 2001),
+        non_linear_rate=getattr(flags, "non_linear_rate", 0.0),
     )
     curve = extract_damping_curve(bank, pre_params)
 

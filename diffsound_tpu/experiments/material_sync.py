@@ -371,7 +371,18 @@ def main(argv=None):
             f.write(f"pair_iters_per_sec:{res['pair_iters_per_sec']:.3f}\n")
         print(f"parallel run: {res['pair_iters_per_sec']:.2f} pair-iters/s")
         return
+    # Resumability across pairs: completed pairs already sit in result.txt
+    # (one "material:<i>" line each); skip them so a restarted run continues
+    # where it left off, and checkpoint mid-pair progress.
+    done_pairs = 0
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            done_pairs = sum(1 for line in f if line.startswith("material:"))
+        if done_pairs:
+            print(f"result.txt already has {done_pairs} pairs; resuming after them")
     for i, (init_mat, gt_mat) in enumerate(pairs):
+        if i < done_pairs:
+            continue
         print(f"material pair {i}: target E={gt_mat[1]:.4g} nu={gt_mat[2]:.4f} "
               f"init E={init_mat[1]:.4g} nu={init_mat[2]:.4f}")
         gt_audio, gt_freqs = task.make_gt(gt_mat)
@@ -381,6 +392,8 @@ def main(argv=None):
             early_loss_epoch=flags.early_loss_epoch,
             logger=logger,
             seed=i,
+            checkpoint_dir=os.path.join(flags.out_dir, f"ckpt_pair{i}"),
+            checkpoint_every=300,
         )
         with open(results_path, "a") as f:
             f.write(

@@ -82,6 +82,37 @@ class TestDampingCurve:
         assert 700.0 not in c.x  # that band dropped
 
 
+class TestNonlinearFrequency:
+    """The per-sample nonlinear frequency term (reference
+    oscillator.py:186-188,218-224)."""
+
+    def _bank(self):
+        mat = Material.of(MatSet.Ceramic)
+        bank = GTOscillatorBank(2, 4, 500, 16000.0, mat, use_nonlinear=True)
+        params = bank.init_params(jax.random.PRNGKey(0))
+        return bank, params
+
+    def test_rate_zero_matches_constant_path(self):
+        bank, params = self._bank()
+        sig0, _ = bank(params, non_linear_rate=0.0)
+        bank_c = GTOscillatorBank(2, 4, 500, 16000.0, Material.of(MatSet.Ceramic))
+        params_c = {k: v for k, v in params.items() if k != "nl_freq_logits"}
+        sig_c, _ = bank_c(params_c)
+        np.testing.assert_allclose(np.asarray(sig0), np.asarray(sig_c), atol=2e-5)
+
+    def test_nonlinear_changes_signal_and_grads_flow(self):
+        bank, params = self._bank()
+        sig0, _ = bank(params, non_linear_rate=0.0)
+        sig1, _ = bank(params, non_linear_rate=0.5)
+        assert np.all(np.isfinite(np.asarray(sig1)))
+        assert not np.allclose(np.asarray(sig0), np.asarray(sig1))
+        g = jax.grad(
+            lambda p: jnp.sum(bank(p, non_linear_rate=0.5)[0] ** 2)
+        )(params)
+        gn = np.abs(np.asarray(g["nl_freq_logits"]))
+        assert np.isfinite(gn).all() and gn.max() > 0
+
+
 def test_gt_oscillator_fit_recovers_modes():
     """Fit the GT bank to a synthetic 2-mode recording; the extracted
     damping curve should approximate the true damping at those modes."""

@@ -31,9 +31,12 @@ class DampingCurve:
 
     def __call__(self, f):
         """Linear interpolation with linear extrapolation (scipy interp1d
-        fill_value='extrapolate' semantics)."""
+        fill_value='extrapolate' semantics), clamped to a small positive
+        floor: negative extrapolated damping is unphysical and makes the
+        oscillator envelope exp(+|d| t) overflow f32 (observed as NaN
+        losses when eigenfrequencies fall outside the fitted bands)."""
         f = np.asarray(f, np.float64)
         i = np.clip(np.searchsorted(self.x, f) - 1, 0, len(self.x) - 2)
         x0, x1 = self.x[i], self.x[i + 1]
         y0, y1 = self.y[i], self.y[i + 1]
-        return y0 + (f - x0) * (y1 - y0) / (x1 - x0)
+        return np.clip(y0 + (f - x0) * (y1 - y0) / (x1 - x0), 1e-3, None)

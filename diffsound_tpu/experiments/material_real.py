@@ -229,13 +229,24 @@ def main(argv=None):
     forces = forces.at[:, 0].set(1.0)
 
     print("stage 1: GT oscillator fit")
-    bank, pre_params = fit_gt_oscillator(
-        jnp.asarray(gt_audio, jnp.float32), forces,
-        flags.mode_num * 16, flags.sample_rate, mat,
-        iters=getattr(flags, "gt_iters", 2001),
-        non_linear_rate=getattr(flags, "non_linear_rate", 0.0),
-    )
-    curve = extract_damping_curve(bank, pre_params)
+    # stage 1 is ~1e4 device dispatches; cache its (freq, damping) result
+    # so a restarted run goes straight to stage 2
+    stage1_cache = os.path.join(flags.out_dir, "stage1_fit.npz")
+    if os.path.exists(stage1_cache):
+        print(f"  (cached: {stage1_cache})")
+        d = np.load(stage1_cache)
+        curve = DampingCurve(d["freqs"], d["damps"])
+    else:
+        bank, pre_params = fit_gt_oscillator(
+            jnp.asarray(gt_audio, jnp.float32), forces,
+            flags.mode_num * 16, flags.sample_rate, mat,
+            iters=getattr(flags, "gt_iters", 2001),
+            non_linear_rate=getattr(flags, "non_linear_rate", 0.0),
+        )
+        damps = np.asarray(bank.damping(pre_params)).reshape(-1)
+        freqs = np.asarray(bank.freq_linear(pre_params)).reshape(-1)
+        np.savez(stage1_cache, freqs=freqs, damps=damps)
+        curve = DampingCurve(freqs, damps)
 
     print("stage 2: material inference")
     res = train_material_real(

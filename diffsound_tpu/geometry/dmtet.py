@@ -220,6 +220,65 @@ class MarchingTets:
         used, inv = np.unique(tris.reshape(-1), return_inverse=True)
         return verts[used], inv.reshape(-1, 3)
 
+    @staticmethod
+    def compact_triangles_padded(out: MarchingOutput, tri_bucket: int = 2048):
+        """Surface triangles for the render path (host): triangles keep
+        their *global* vertex ids into `all_verts` so the differentiable
+        vertex array gathers straight in under jit; bucket-padded so the
+        per-iteration jit program count stays bounded.
+
+        Returns dict: tris (F_pad, 3) int, tri_mask (F_pad,), face_gidx
+        (F_pad,) original slot index (drives the UV atlas), num_tris."""
+        mask = np.asarray(out.tri_mask)
+        slots = np.nonzero(mask)[0]
+        tris = np.asarray(out.surf_tris)[slots]
+        n = len(slots)
+        pad = ((n + tri_bucket - 1) // tri_bucket) * tri_bucket
+        tris_p = np.zeros((pad, 3), np.int64)
+        tris_p[:n] = tris
+        gidx = np.zeros(pad, np.int64)
+        gidx[:n] = slots
+        m = np.zeros(pad, bool)
+        m[:n] = True
+        return {"tris": tris_p, "tri_mask": m, "face_gidx": gidx, "num_tris": n}
+
+
+def map_uv(face_gidx: np.ndarray, total_slots: int):
+    """Per-face UV atlas for marching-tets surfaces (host, static).
+
+    Same tile scheme as the reference (dmtet.py:102-131): each background
+    tet owns one of N x N texture tiles (N = ceil(sqrt(total_slots / 2))),
+    its (up to) two triangles split the tile's corner quad.  Returns
+    (v_tex (F*3, 2) float32, t_tex_idx (F, 3) int32) — per-face texcoords
+    (no sharing; UV islands are per-face by construction)."""
+    face_gidx = np.asarray(face_gidx)
+    n_tris_per_tet = MAX_TRIS
+    N = int(np.ceil(np.sqrt((total_slots + 1) // n_tris_per_tet)))
+    tet_idx = face_gidx // n_tris_per_tet
+    tri_idx = face_gidx % n_tris_per_tet
+    tile = tet_idx % (N * N)
+    tx = (tile % N).astype(np.float64) / N
+    ty = (tile // N).astype(np.float64) / N
+    pad = 0.9 / N
+    corners = np.stack(
+        [
+            np.stack([tx, ty], -1),
+            np.stack([tx + pad, ty], -1),
+            np.stack([tx + pad, ty + pad], -1),
+            np.stack([tx, ty + pad], -1),
+        ],
+        axis=1,
+    )  # (F, 4, 2)
+    c1 = np.clip(tri_idx + 1, 0, 3)
+    c2 = np.clip(tri_idx + 2, 0, 3)
+    F = len(face_gidx)
+    ar = np.arange(F)
+    v_tex = np.stack(
+        [corners[ar, 0], corners[ar, c1], corners[ar, c2]], axis=1
+    ).reshape(F * 3, 2)
+    t_tex_idx = np.arange(F * 3, dtype=np.int32).reshape(F, 3)
+    return v_tex.astype(np.float32), t_tex_idx
+
 
 def sdf_reg_loss(sdf: jax.Array, unique_edges: jax.Array):
     """BCE sign-agreement regularizer on grid edges crossing the surface

@@ -75,6 +75,15 @@ class SDFGeometry:
     def sdf_at(self, params, points):
         return self.net.apply(params["mlp"], points)
 
+    def pretrain_regression(self, params, points, sdf_vals, **kw):
+        """Direct SDF regression on the MLP (train_sdfnerf parity)."""
+        params = dict(params)
+        params["mlp"] = train_sdf_regression(
+            self.net, params["mlp"], np.asarray(points) / self.scale,
+            sdf_vals, **kw
+        )
+        return params
+
     def mesh_template_loss(self, params, query_points, signed_distance,
                            margin: float = 0.0):
         """Hinge on sign agreement with a coarse voxel constraint
@@ -87,6 +96,38 @@ class SDFGeometry:
         pen_in = jnp.where(inside & (pred <= margin), -pred, 0.0)
         pen_out = jnp.where(outside & (pred >= margin), pred, 0.0)
         return (jnp.sum(pen_in) + jnp.sum(pen_out)) / self.grid_res**3 * 1000.0
+
+
+def train_sdf_regression(net, params, points, sdf_vals, iters: int = 1000,
+                         lr: float = 1e-4, batch: int = 8192, seed: int = 0):
+    """Direct SDF-regression pretraining of one MLP (parity:
+    train_sdfnerf, /root/reference/src/dmtet/geometry/sdf.py:25-73 —
+    MSE on sampled signed distances, Adam).  Returns updated params."""
+    import optax
+
+    pts = jnp.asarray(points)
+    sd = jnp.asarray(sdf_vals)
+    n = pts.shape[0]
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        idx = jax.random.randint(key, (min(batch, n),), 0, n)
+        p, s = pts[idx], sd[idx]
+
+        def loss_fn(q):
+            return jnp.mean((net.apply(q, p) - s) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(seed)
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        params, opt_state, _ = step(params, opt_state, sub)
+    return params
 
 
 def voxelize_occupancy(signed_distance: np.ndarray, voxel_num: int):

@@ -191,7 +191,7 @@ class EnvironmentLight:
             op = jnp.asarray(op_np)
             return (op @ cube.reshape(-1, ch)).reshape(f, r, r, ch)
 
-        diffuse = apply_op(_diffuse_operator(self.LIGHT_MIN_RES), mips[-1])
+        diffuse = apply_op(_diffuse_operator(self.mip_res[-1]), mips[-1])
 
         specular = []
         for i, m in enumerate(mips):

@@ -138,10 +138,13 @@ def _sweep(
         if with_soft:
             # signed pixel-space distance to the triangle boundary
             def elen(p0, p1):
-                return jnp.sqrt(
-                    ((p1[:, 0] - p0[:, 0]) * (0.5 * W)) ** 2
-                    + ((p1[:, 1] - p0[:, 1]) * (0.5 * H)) ** 2
-                ) + 1e-12
+                # clamp INSIDE the sqrt: degenerate (padded / zero-area)
+                # triangles have exact-zero edge vectors, and sqrt'(0)=inf
+                # would leak NaN through the ok-mask via 0*inf in backward
+                l2 = ((p1[:, 0] - p0[:, 0]) * (0.5 * W)) ** 2 + (
+                    (p1[:, 1] - p0[:, 1]) * (0.5 * H)
+                ) ** 2
+                return jnp.sqrt(jnp.maximum(l2, 1e-24))
             # edge funcs are in NDC^2 units; convert to pixel distance
             d0 = e0 * (0.25 * W * H) / elen(pb, pc)[:, None, None]
             d1 = e1 * (0.25 * W * H) / elen(pc, pa)[:, None, None]

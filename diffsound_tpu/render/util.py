@@ -184,6 +184,24 @@ def cube_to_dir(face: int, x, y):
     return jnp.stack([-x, -y, -jnp.ones_like(x)], -1)
 
 
+def _cube_to_dir_np(face: int, x, y):
+    """Pure-numpy cube_to_dir (stays concrete even when first invoked
+    inside a jit trace — the operator builders are lru-cached and may be
+    populated lazily from within a traced light.shade)."""
+    o = np.ones_like(x)
+    if face == 0:
+        return np.stack([o, -y, -x], -1)
+    if face == 1:
+        return np.stack([-o, -y, x], -1)
+    if face == 2:
+        return np.stack([x, o, y], -1)
+    if face == 3:
+        return np.stack([x, -o, -y], -1)
+    if face == 4:
+        return np.stack([x, -y, o], -1)
+    return np.stack([-x, -y, -o], -1)
+
+
 def cubemap_directions(res: int):
     """-> dirs (6, res, res, 3) unit, solid angles (6, res, res)."""
     g = (np.arange(res) + 0.5) / res * 2.0 - 1.0
@@ -192,7 +210,7 @@ def cubemap_directions(res: int):
     # solid angle of a texel: d(omega) = 4 / (x^2+y^2+1)^(3/2) * (2/res)^2
     w = 4.0 / (gx**2 + gy**2 + 1.0) ** 1.5 * (2.0 / res) ** 2
     for f in range(6):
-        d = np.asarray(cube_to_dir(f, jnp.asarray(gx), jnp.asarray(gy)))
+        d = _cube_to_dir_np(f, gx, gy)
         d = d / np.linalg.norm(d, axis=-1, keepdims=True)
         dirs.append(d)
         weights.append(w)

@@ -1,0 +1,123 @@
+"""Joint image + audio inverse rendering (parity target:
+/root/reference/src/dmtet/geometry/dmtet.py:314-514 — image MSE +
+regularizers + eigenvalue loss through one SDF)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffsound_tpu.geometry.joint_task import JointImageAudioTask, masked_auto_normals
+from diffsound_tpu.geometry.dmtet import map_uv
+
+
+def _look_at_mvp(campos, fov=0.7, aspect=1.0, near=0.1, far=10.0):
+    campos = np.asarray(campos, np.float64)
+    fwd = -campos / np.linalg.norm(campos)
+    right = np.cross(fwd, [0.0, 1.0, 0.0])
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    view = np.eye(4)
+    view[0, :3], view[1, :3], view[2, :3] = right, up, -fwd
+    view[:3, 3] = -view[:3, :3] @ campos
+    f = 1.0 / np.tan(fov / 2)
+    proj = np.zeros((4, 4))
+    proj[0, 0] = f / aspect
+    proj[1, 1] = -f  # y flip (render convention)
+    proj[2, 2] = (far + near) / (near - far)
+    proj[2, 3] = 2 * far * near / (near - far)
+    proj[3, 2] = -1.0
+    return proj @ view
+
+
+@pytest.fixture(scope="module")
+def task():
+    return JointImageAudioTask(
+        grid_res=10, scale=1.0, mode_num=4, light_res=8,
+        hidden_dim=32, tets_dir="/nonexistent",
+    )
+
+
+@pytest.fixture(scope="module")
+def sphere_params(task):
+    """Params pretrained (direct SDF regression, train_sdfnerf parity) to
+    an inside-positive sphere of radius 0.35 — guarantees a camera-visible
+    surface."""
+    params = task.init_params(jax.random.PRNGKey(0))
+    pts = task.grid_verts
+    sd = 0.35 - np.linalg.norm(pts, axis=-1)
+    params = dict(params)
+    params["geo"] = task.geo.pretrain_regression(
+        params["geo"], pts, sd, iters=300, lr=3e-4
+    )
+    return params
+
+
+class TestJointTask:
+    def test_map_uv_in_unit_square(self):
+        gidx = np.arange(0, 40, 3)
+        v_tex, t_idx = map_uv(gidx, 1000)
+        assert v_tex.shape == (len(gidx) * 3, 2)
+        assert t_idx.shape == (len(gidx), 3)
+        assert v_tex.min() >= 0.0 and v_tex.max() <= 1.0
+        # distinct tets get distinct tiles (first corner differs)
+        c0 = v_tex.reshape(-1, 3, 2)[:, 0]
+        assert len(np.unique(c0, axis=0)) > 1
+
+    def test_masked_normals_finite(self):
+        v = jnp.asarray(np.random.default_rng(0).normal(size=(10, 3)))
+        tris = jnp.asarray([[0, 1, 2], [3, 4, 5], [0, 0, 0]])
+        mask = jnp.asarray([1.0, 1.0, 0.0])
+        vn, fn = masked_auto_normals(v, tris, mask)
+        assert bool(jnp.all(jnp.isfinite(vn))) and bool(jnp.all(jnp.isfinite(fn)))
+        nrm = jnp.linalg.norm(vn, axis=-1)
+        np.testing.assert_allclose(np.asarray(nrm), 1.0, atol=1e-5)
+
+    def test_joint_step_grads_flow_to_all_param_groups(self, task, sphere_params):
+        """One joint step: finite loss, finite grads, and BOTH the image
+        loss and the audio eigenvalue loss push on the geometry
+        (dmtet.py:472-514 tick semantics)."""
+        params = sphere_params
+        tv = np.array([1e5, 2e5, 3e5, 4e5])
+        campos = np.array([0.0, 0.0, 3.0])
+        mvp = _look_at_mvp(campos)
+        img = np.zeros((32, 32, 4), np.float32)
+        img[8:24, 8:24] = 0.5
+        loss, (il, rl, al), g, comp, out = task.step_loss_grad(
+            params, tv, img, mvp, campos, 0.0, jax.random.PRNGKey(1),
+            resolution=(32, 32), tri_bucket=512,
+        )
+        assert np.isfinite(float(loss))
+        leaves = jax.tree.leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        # geometry receives gradient from the joint objective
+        assert float(jnp.abs(g["geo"]["deform"]).max()) > 0
+        # appearance branches receive gradient from the image loss
+        assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g["tex"])) > 0
+        assert float(jnp.abs(g["light"]["base"]).max()) > 0
+
+        # the image loss alone also drives the geometry (audio zeroed)
+        loss0, aux0, g_img, _, _ = task.step_loss_grad(
+            params, tv, img, mvp, campos, 0.0, jax.random.PRNGKey(1),
+            audio_weight=0.0, resolution=(32, 32), tri_bucket=512,
+        )
+        assert float(jnp.abs(g_img["geo"]["deform"]).max()) > 0
+
+    def test_optimize_smoke_reduces_loss(self, task, sphere_params):
+        """Three optimization iterations run without degenerate failures
+        and keep history + best mesh."""
+        params = sphere_params
+        tv = np.array([1e5, 2e5, 3e5, 4e5])
+        campos = np.array([0.0, 0.0, 3.0])
+        targets = [{
+            "img": np.zeros((32, 32, 4), np.float32),
+            "mvp": _look_at_mvp(campos),
+            "campos": campos,
+        }]
+        params, best, hist = task.optimize(
+            params, tv, targets, iters=3, resolution=(32, 32),
+            verbose=False, audio_weight=1e-6,
+        )
+        assert len(hist) == 3
+        assert np.isfinite(best["loss"])
+        assert best["verts"].shape[1] == 3 and best["tets"].shape[1] == 4

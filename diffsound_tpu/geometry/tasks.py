@@ -53,6 +53,8 @@ class ShapeTaskBase:
         sigma: float = 20000.0,
         extra_modes: int = 6,
         tets_dir: Optional[str] = None,
+        eig_method: str = "warm",
+        reanchor_every: int = 0,
     ):
         kw = {} if tets_dir is None else {"tets_dir": tets_dir}
         verts, tets = load_background_grid(grid_res, **kw)
@@ -74,6 +76,17 @@ class ShapeTaskBase:
         self._loss_cache = {}
         if order != 1:
             raise NotImplementedError("shape tasks run order-1 (parity: thickness_train.py:106)")
+        if eig_method == "warm":
+            from .warm_eigs import WarmShapeEigensolver
+
+            self.warm = WarmShapeEigensolver(
+                self.marching.num_grid_verts + self.marching.num_edges,
+                mode_num + extra_modes,
+                dtype=jnp.float32 if jax.default_backend() != "cpu" else self.dtype,
+                reanchor_every=reanchor_every,
+            )
+        else:
+            self.warm = None
 
     # material (density-normalized)
     def _lame(self):
@@ -105,6 +118,17 @@ class ShapeTaskBase:
         U = np.zeros((3 * len(comp["keep_idx"]), k))
         U[:n_real] = vecs
         return vals, U
+
+    def _eigensolve(self, out, comp):
+        """Training-loop eigensolve: device warm path when enabled (cold
+        falls back to host ARPACK inside the warm solver)."""
+        if self.warm is None:
+            return self._eigensolve_host(out, comp)
+        mu, lam = self._lame()
+        return self.warm.solve(
+            out, comp, float(mu), float(lam),
+            host_solve=lambda: self._eigensolve_host(out, comp),
+        )
 
     def _loss_fn_for_shapes(self, vpad, tpad, loss_core):
         key = (vpad, tpad)
@@ -196,7 +220,7 @@ class ThicknessTask(ShapeTaskBase):
         th = jnp.asarray(float(self.thickness_value(params)))
         out = self._march(self.sdf, th)
         comp = MarchingTets.compact(out)
-        lam, U = self._eigensolve_host(out, comp)
+        lam, U = self._eigensolve(out, comp)
 
         keep_idx = jnp.asarray(comp["keep_idx"])
         tets_c = jnp.asarray(comp["tets"])
@@ -279,7 +303,7 @@ class MorphingTask(ShapeTaskBase):
         c = jnp.asarray(float(self.bins.value(params)))
         out = self._march(self.blended_sdf(c), None)
         comp = MarchingTets.compact(out)
-        lam, U = self._eigensolve_host(out, comp)
+        lam, U = self._eigensolve(out, comp)
 
         fn = self._loss_fn_for_shapes(
             len(comp["keep_idx"]),

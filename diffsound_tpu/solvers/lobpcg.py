@@ -142,6 +142,7 @@ class LobpcgResult(NamedTuple):
     eigenvectors: jax.Array  # (n, m) B-orthonormal
     iterations: jax.Array  # ()
     residual_norms: jax.Array  # (m,) relative residuals at exit
+    history: Optional[jax.Array] = None  # (max_iters,) max rel residual per iter (record_history)
 
 
 def _b_orthonormalize(S, BS, gram_dtype):
@@ -182,6 +183,9 @@ def lobpcg(
     gram_dtype=None,
     seed: int = 0,
     reuse_products: bool = False,
+    record_history: bool = False,
+    profiler: Optional[str] = None,
+    row_mask: Optional[jax.Array] = None,
 ) -> LobpcgResult:
     """Compute the m smallest eigenpairs of A x = lambda B x.
 
@@ -199,6 +203,20 @@ def lobpcg(
         linearly dependent with span(X, P), the CholQR right factor blows
         up (~1e15 after ~100 iterations), and the carried products lose
         all significance (NaN well before a 1e-9 tolerance is reached).
+    record_history: return the per-iteration max relative residual in
+        `result.history` (NaN past the exit iteration).
+    profiler: trace directory; when set the solve runs OUTSIDE
+        lax.while_loop, one profiled device dispatch per iteration with
+        per-step annotations + host wall-clock prints — the counterpart
+        of the reference's in-solver torch.profiler hook
+        (/root/reference/src/lobpcg/_lobpcg.py:357-369).  Eager contexts
+        only (must not be used under an outer jit).
+    row_mask: (n,) 0/1 — restrict the solve to the masked row subspace.
+        For capacity-padded operators (shape tasks) whose pad rows are
+        never read or written by a_fn/b_fn, masking the solver's two
+        internal random-vector sources (P seed + dead-residual refresh)
+        keeps every basis vector exactly zero on pad rows, so the padded
+        pencil needs no spurious-eigenvalue shifting at all.
     """
     n, m = x0.shape
     dtype = x0.dtype
@@ -209,9 +227,11 @@ def lobpcg(
 
     key = jax.random.PRNGKey(seed)
     p0 = jax.random.normal(key, (n, m), dtype=dtype)
+    if row_mask is not None:
+        p0 = p0 * row_mask[:, None]
 
     def body(state):
-        X, AX, BX, P, AP, BP, theta, _, it = state
+        X, AX, BX, P, AP, BP, theta, _, it, hist = state
         if not reuse_products:
             AX = a_fn(X)
             BX = b_fn(X)
@@ -226,6 +246,11 @@ def lobpcg(
             BX, axis=0
         ) + jnp.linalg.norm(AX, axis=0)
         rel = rn / jnp.maximum(scale, jnp.finfo(dtype).tiny)
+        if record_history:
+            # per-iteration convergence trace (the in-solver profiler hook
+            # of the reference, _lobpcg.py:357-369, reduced to what is
+            # observable from inside a lax.while_loop)
+            hist = hist.at[it].set(jnp.max(rel))
 
         W = precond_fn(R)
         if reuse_products:
@@ -237,6 +262,8 @@ def lobpcg(
             fresh = jax.random.normal(
                 jax.random.fold_in(key, it), W.shape, dtype
             )
+            if row_mask is not None:
+                fresh = fresh * row_mask[:, None]
             fresh = fresh * jax.lax.rsqrt(jnp.sum(fresh * fresh, axis=0))
             alive = wn > jnp.asarray(jnp.finfo(dtype).tiny, dtype) ** 0.5
             W = jnp.where(
@@ -283,10 +310,10 @@ def lobpcg(
             # recompute mode: AX/BX are rebuilt from Xn at the top of the
             # next iteration; carry placeholders through unchanged.
             AXn, BXn, APn, BPn = AX, BX, AP, BP
-        return Xn, AXn, BXn, Pn, APn, BPn, ritz[:m], rel, it + 1
+        return Xn, AXn, BXn, Pn, APn, BPn, ritz[:m], rel, it + 1, hist
 
     def cond(state):
-        rel, it = state[-2], state[-1]
+        rel, it = state[-3], state[-2]
         return jnp.logical_and(it < max_iters, jnp.max(rel) > tol)
 
     # Initialize: B-orthonormalize X0 and take its Ritz approximation.
@@ -304,15 +331,69 @@ def lobpcg(
     AP0 = a_fn(p0)
     BP0 = b_fn(p0)
 
+    hist0 = jnp.full((max_iters if record_history else 1,), jnp.nan, dtype=dtype)
     init = (
         X, AX, BX, p0, AP0, BP0, theta0,
-        jnp.full((m,), jnp.inf, dtype=dtype), jnp.array(0),
+        jnp.full((m,), jnp.inf, dtype=dtype), jnp.array(0), hist0,
     )
-    X, AX, BX, P, AP, BP, theta, rel, it = jax.lax.while_loop(cond, body, init)
+    if profiler is None:
+        X, AX, BX, P, AP, BP, theta, rel, it, hist = jax.lax.while_loop(
+            cond, body, init
+        )
+    else:
+        # Host-driven profiled loop — the analog of the reference's
+        # torch.profiler hook inside the solver (_lobpcg.py:357-369): one
+        # device dispatch per iteration under a jax.profiler trace with
+        # per-step annotations, host wall-clock included.
+        import time as _time
+
+        jbody = jax.jit(body)
+        state = init
+        with jax.profiler.trace(profiler):
+            while bool(cond(state)):
+                t0 = _time.perf_counter()
+                with jax.profiler.StepTraceAnnotation(
+                    "lobpcg_iter", step_num=int(state[-2])
+                ):
+                    state = jbody(state)
+                    jax.block_until_ready(state[0])
+                print(
+                    f"  lobpcg iter {int(state[-2])}: max rel resid "
+                    f"{float(jnp.max(state[-3])):.3e} "
+                    f"({(_time.perf_counter() - t0) * 1e3:.1f} ms)"
+                )
+        X, AX, BX, P, AP, BP, theta, rel, it, hist = state
 
     return LobpcgResult(
-        eigenvalues=theta, eigenvectors=X, iterations=it, residual_norms=rel
+        eigenvalues=theta, eigenvectors=X, iterations=it, residual_norms=rel,
+        history=hist if record_history else None,
     )
+
+
+def lobpcg_solver_freq(
+    a_fn,
+    b_fn,
+    x0,
+    freq_limit: Optional[float] = None,
+    rigid_modes: int = 6,
+    **kwargs,
+):
+    """Solve, drop the rigid-body block, and apply an optional frequency
+    cutoff (parity: LOBPCG_solver_freq,
+    /root/reference/src/utils/utils.py:80-90).
+
+    x0 (n, k + rigid_modes).  Host-facing (the cutoff mask is a dynamic
+    shape): returns (vals (<=k,), vecs (n, <=k)) as numpy arrays with
+    eigenvalues above (2 pi freq_limit)^2 removed."""
+    import numpy as np
+
+    res = lobpcg(a_fn, b_fn, x0, **kwargs)
+    vals = np.asarray(res.eigenvalues)
+    vecs = np.asarray(res.eigenvectors)
+    if freq_limit is not None:
+        keep = vals < (2.0 * np.pi * freq_limit) ** 2
+        vals, vecs = vals[keep], vecs[:, keep]
+    return vals[rigid_modes:], vecs[:, rigid_modes:]
 
 
 def jacobi_preconditioner(diag: jax.Array):

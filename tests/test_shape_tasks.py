@@ -50,3 +50,56 @@ def test_morphing_recovery():
     assert abs(final - target_coef) < 0.12, history[-5:]
     # monotone-ish improvement
     assert history[-1]["loss"] < 0.25 * history[0]["loss"]
+
+
+def test_warm_eigensolver_matches_host():
+    """Device warm path vs host ARPACK on consecutive geometries: the
+    second solve must run warm (basis mapped across the remesh through
+    global grid slots) and agree with a fresh host solve."""
+    from diffsound_tpu.geometry.dmtet import MarchingTets
+
+    verts, faces = icosphere(2, radius=0.42)
+    task = ThicknessTask(
+        grid_res=12, scale=1.0, mat=MAT, mode_num=8, tets_dir="/nonexistent",
+        eig_method="warm",
+    )
+    task.apply_sdf(verts, faces)
+    assert task.warm is not None
+
+    for i, coef in enumerate([0.5, 0.51, 0.52]):
+        th = jnp.asarray(coef * task.max_thickness)
+        out = task._march(task.sdf, th)
+        comp = MarchingTets.compact(out)
+        vals, U = task._eigensolve(out, comp)
+        if i == 0:
+            assert task.warm.last_mode == "cold"
+        else:
+            # warm when the budgeted refresh converged; the residual
+            # escalation may re-anchor on a large geometry jump
+            assert task.warm.last_mode in ("warm", "cold-escalated")
+        ref_vals, _ = task._eigensolve_host(out, comp)
+        # elastic modes agree to solver tolerance (Ritz error ~ resid^2)
+        rel = np.abs(vals[6:] - ref_vals[6:]) / np.abs(ref_vals[6:])
+        assert rel.max() < 2e-4, (i, rel.max())
+        # basis rows live in the right slots: M-orthonormality of U
+        n = 3 * comp["num_verts"]
+        assert np.all(np.isfinite(U[:n]))
+
+
+def test_thickness_recovery_warm_path_speedup_semantics():
+    """Full thickness loop on the warm path recovers the coefficient and
+    runs warm on (nearly) every iteration after the first."""
+    verts, faces = icosphere(2, radius=0.42)
+    task = ThicknessTask(
+        grid_res=12, scale=1.0, mat=MAT, mode_num=8, tets_dir="/nonexistent",
+        eig_method="warm",
+    )
+    task.apply_sdf(verts, faces)
+    target = task.eigenvalues(0.6)
+    params, history = task.optimize(
+        jnp.asarray(target), iters=20, lr=5e-2, verbose=False
+    )
+    assert abs(history[-1]["coef"] - 0.6) < 0.12
+    # the steady state is device-resident (early big steps may escalate
+    # to a host re-anchor; the majority must run warm)
+    assert task.warm.total_warm >= 10, (task.warm.total_warm, task.warm.total_cold)

@@ -245,3 +245,70 @@ class TestDifferentiableEigenvalues:
                 2 * h
             )
             assert abs(np.asarray(g)[vi, d] - fd) < 1e-5 * gmax
+
+
+class TestSolverExtras:
+    def _pencil(self):
+        rng = np.random.default_rng(7)
+        n, m = 80, 10
+        Q = rng.standard_normal((n, n))
+        A = Q @ np.diag(rng.uniform(1.0, 1e3, n)) @ Q.T
+        A = 0.5 * (A + A.T)
+        B = np.eye(n)
+        x0 = rng.standard_normal((n, m))
+        return A, B, x0
+
+    def test_record_history(self):
+        A, B, x0 = self._pencil()
+        res = lobpcg(
+            lambda x: jnp.asarray(A) @ x,
+            lambda x: jnp.asarray(B) @ x,
+            jnp.asarray(x0),
+            max_iters=200,
+            tol=1e-9,
+            record_history=True,
+        )
+        hist = np.asarray(res.history)
+        it = int(res.iterations)
+        assert hist.shape == (200,)
+        assert np.all(np.isfinite(hist[:it]))
+        assert np.all(np.isnan(hist[it:]))
+        # converged: last recorded residual at or below a loose multiple of tol
+        assert hist[it - 1] < 1e-6
+
+    def test_profiled_loop_matches_while_loop(self, tmp_path):
+        A, B, x0 = self._pencil()
+        kw = dict(max_iters=60, tol=1e-9)
+        r1 = lobpcg(
+            lambda x: jnp.asarray(A) @ x, lambda x: jnp.asarray(B) @ x,
+            jnp.asarray(x0), **kw,
+        )
+        r2 = lobpcg(
+            lambda x: jnp.asarray(A) @ x, lambda x: jnp.asarray(B) @ x,
+            jnp.asarray(x0), profiler=str(tmp_path / "trace"), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1.eigenvalues), np.asarray(r2.eigenvalues), rtol=1e-8
+        )
+
+    def test_freq_cutoff_wrapper(self):
+        """lobpcg_solver_freq parity: drops rigid block + cutoff mask
+        (/root/reference/src/utils/utils.py:80-90)."""
+        from diffsound_tpu.solvers.lobpcg import lobpcg_solver_freq
+        import scipy.linalg
+
+        A, B, x0 = self._pencil()
+        ref = scipy.linalg.eigh(A, B, eigvals_only=True)
+        # cutoff above the 8th eigenvalue: freq = sqrt(lam)/2pi
+        lim = float(np.sqrt(ref[7]) / (2 * np.pi)) + 1e-9
+        vals, vecs = lobpcg_solver_freq(
+            lambda x: jnp.asarray(A) @ x,
+            lambda x: jnp.asarray(B) @ x,
+            jnp.asarray(x0),
+            freq_limit=lim,
+            rigid_modes=2,
+            max_iters=300,
+            tol=1e-10,
+        )
+        np.testing.assert_allclose(vals, ref[2:8], rtol=1e-6)
+        assert vecs.shape[1] == len(vals)

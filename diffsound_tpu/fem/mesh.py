@@ -218,15 +218,29 @@ class TetMesh:
     # -- constructors -------------------------------------------------------
 
     @staticmethod
-    def from_file(path: str) -> "TetMesh":
-        """Load an order-1 tet mesh from .msh (gmsh 2.2) or COMSOL .txt."""
+    def from_file(path: str, keep_order: bool = False) -> "TetMesh":
+        """Load a tet mesh from .msh (gmsh 2.2: tetra / tetra10 / tetra20)
+        or COMSOL .txt (parity: the reference loads and converts
+        high-order meshes, /root/reference/src/diffelastic/mesh.py:101-223).
+
+        keep_order=False (default): high-order cells are reduced to their
+        corner vertices and returned as an order-1 mesh (re-promote with
+        `to_high_order`).  keep_order=True returns the mesh at its native
+        order with the file's node layout mapped to `fem.shape_func`'s."""
         if path.endswith(".txt"):
             v, t = read_comsol_txt(path)
         else:
             v, t = read_msh(path)
-        if t.shape[1] != 4:
-            raise ValueError("from_file expects an order-1 (tetra4) mesh")
-        return TetMesh(v, t, order=1).remove_duplicate_vertices()
+        width = t.shape[1]
+        if width == 4:
+            return TetMesh(v, t, order=1).remove_duplicate_vertices()
+        if width not in (10, 20):
+            raise ValueError(f"unsupported tet cell width {width}")
+        order = 2 if width == 10 else 3
+        if keep_order:
+            return TetMesh(v, t, order=order).remove_duplicate_vertices()
+        corners = t[:, list(CORNER_NODES[order])]
+        return TetMesh(v, corners, order=1).remove_unreferenced_vertices().remove_duplicate_vertices()
 
     @staticmethod
     def from_triangle_mesh(path: str, log: bool = False) -> "TetMesh":
@@ -275,8 +289,10 @@ class TetMesh:
             raise ValueError("to_high_order expects an order-1 mesh")
         if order == 1:
             return self
+        if order == 3:
+            return self._to_order3()
         if order != 2:
-            raise NotImplementedError("only order-2 promotion is supported")
+            raise NotImplementedError(f"unsupported order {order}")
 
         from ..native import meshops
 
@@ -309,6 +325,73 @@ class TetMesh:
         new_tets[:, 8] = edge_node[:, 5]  # m23
         new_tets[:, 9] = t[:, 3]
         return TetMesh(new_vertices, new_tets, order=2)
+
+    def _to_order3(self) -> "TetMesh":
+        """Order-1 -> order-3 (tetra20): two nodes per unique edge at the
+        third points plus one node per unique face (centroid), deduped by
+        integer keys (exact — no float comparisons).  Node layout matches
+        `fem.shape_func` order 3: corners at 0/3/6/16; edge nodes
+        (1,2)=c0c1, (4,5)=c1c2, (7,8)=c2c0, (10,13)=c0c3, (11,14)=c1c3,
+        (12,15)=c2c3 (first of each pair nearest the first corner); face
+        nodes 9=f012, 17=f123, 18=f023, 19=f013."""
+        t = self.tets
+        V = self.num_vertices
+        E = self.num_tets
+
+        # slot -> (edge index into edge_pairs, first corner of that edge,
+        #          fraction-from-first-corner numerator: 1 or 2 thirds)
+        slot_info = {
+            1: (0, 0, 1), 2: (0, 0, 2), 4: (1, 1, 1), 5: (1, 1, 2),
+            7: (2, 2, 1), 8: (2, 2, 2), 10: (3, 0, 1), 13: (3, 0, 2),
+            11: (4, 1, 1), 14: (4, 1, 2), 12: (5, 2, 1), 15: (5, 2, 2),
+        }
+        edge_pairs = np.array([[0, 1], [1, 2], [2, 0], [0, 3], [1, 3], [2, 3]])
+        ed = t[:, edge_pairs]  # (E, 6, 2) endpoint vertex ids
+        a, b = ed[..., 0], ed[..., 1]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # canonical per-edge key + which-third from the LOW vertex
+        # node at 1/3 from a == 1/3 from lo iff a == lo
+        key_lo = np.stack([lo, hi], -1).reshape(-1, 2)  # (E*6, 2)
+        uniq_e, inv_e = np.unique(key_lo, axis=0, return_inverse=True)
+        inv_e = inv_e.reshape(E, 6)
+        third = (
+            2.0 * self.vertices[uniq_e[:, 0]] + self.vertices[uniq_e[:, 1]]
+        ) / 3.0  # at 1/3 from lo
+        two_third = (
+            self.vertices[uniq_e[:, 0]] + 2.0 * self.vertices[uniq_e[:, 1]]
+        ) / 3.0
+        ne = len(uniq_e)
+
+        # -- unique faces ----------------------------------------------------
+        face_corners = np.array([[0, 1, 2], [1, 2, 3], [0, 2, 3], [0, 1, 3]])
+        fc = np.sort(t[:, face_corners], axis=-1).reshape(-1, 3)
+        uniq_f, inv_f = np.unique(fc, axis=0, return_inverse=True)
+        inv_f = inv_f.reshape(E, 4)
+        centroids = self.vertices[uniq_f].mean(axis=1)
+
+        new_vertices = np.concatenate(
+            [self.vertices, third, two_third, centroids], axis=0
+        )
+        new_tets = np.empty((E, 20), dtype=np.int64)
+        new_tets[:, 0] = t[:, 0]
+        new_tets[:, 3] = t[:, 1]
+        new_tets[:, 6] = t[:, 2]
+        new_tets[:, 16] = t[:, 3]
+        for slot, (edge_i, ca, frac) in slot_info.items():
+            e_idx = inv_e[:, edge_i]
+            av = t[:, ca]
+            lo_e = uniq_e[e_idx, 0]
+            # node sits at frac/3 from corner a; measured from the LOW
+            # endpoint the fraction flips when a is the high endpoint
+            from_lo_is_third = (av == lo_e) == (frac == 1)
+            new_tets[:, slot] = np.where(
+                from_lo_is_third, V + e_idx, V + ne + e_idx
+            )
+        new_tets[:, 9] = V + 2 * ne + inv_f[:, 0]   # f012
+        new_tets[:, 17] = V + 2 * ne + inv_f[:, 1]  # f123
+        new_tets[:, 18] = V + 2 * ne + inv_f[:, 2]  # f023
+        new_tets[:, 19] = V + 2 * ne + inv_f[:, 3]  # f013
+        return TetMesh(new_vertices, new_tets, order=3)
 
     def remove_duplicate_vertices(self) -> "TetMesh":
         uniq, inverse = np.unique(self.vertices, axis=0, return_inverse=True)

@@ -316,3 +316,105 @@ class TestGatherTranspose:
         real = idx[idx < EN]
         assert len(real) == EN  # every element-node row appears exactly once
         assert len(np.unique(real)) == EN
+
+
+class TestOrder3:
+    """Order-3 (tetra20) mesh layer: promotion, IO, assembly consistency
+    (parity: /root/reference/src/diffelastic/mesh.py:101-223 +
+    shape_func.py order-3 tables)."""
+
+    def _mesh3(self, n=2):
+        return cube_tet_mesh(n, size=1.0).to_high_order(3)
+
+    def test_promotion_node_positions(self):
+        """Every node of every tet sits at its shape-function barycentric
+        location relative to the tet's corners (dedup is exact)."""
+        from diffsound_tpu.fem.shape_func import CORNER_NODES
+
+        m1 = cube_tet_mesh(2, size=1.0)
+        m3 = m1.to_high_order(3)
+        assert m3.tets.shape[1] == 20
+        c = m3.tets[:, list(CORNER_NODES[3])]
+        corners = m3.vertices[c]  # (E, 4, 3)
+        # barycentric coordinates of the 20 nodes in shape_func layout
+        bary = np.zeros((20, 4))
+        bary[[0, 3, 6, 16], [0, 1, 2, 3]] = 1.0
+        edge = {1: (0, 1, 1), 2: (0, 1, 2), 4: (1, 2, 1), 5: (1, 2, 2),
+                7: (2, 0, 1), 8: (2, 0, 2), 10: (0, 3, 1), 13: (0, 3, 2),
+                11: (1, 3, 1), 14: (1, 3, 2), 12: (2, 3, 1), 15: (2, 3, 2)}
+        for s, (a, b, f) in edge.items():
+            bary[s, a] = (3 - f) / 3.0
+            bary[s, b] = f / 3.0
+        for s, f in {9: (0, 1, 2), 17: (1, 2, 3), 18: (0, 2, 3), 19: (0, 1, 3)}.items():
+            bary[s, list(f)] = 1.0 / 3.0
+        expect = np.einsum("na,eac->enc", bary, corners)
+        np.testing.assert_allclose(m3.vertices[m3.tets], expect, atol=1e-12)
+        # shared nodes are deduped: count = V + 2 edges + faces
+        from diffsound_tpu.native import meshops
+        ue, _ = meshops.unique_edges(m1.tets)
+        face_c = np.array([[0, 1, 2], [1, 2, 3], [0, 2, 3], [0, 1, 3]])
+        nf = len(np.unique(np.sort(m1.tets[:, face_c], -1).reshape(-1, 3), axis=0))
+        assert m3.num_vertices == m1.num_vertices + 2 * len(ue) + nf
+
+    def test_tetra20_roundtrip(self, tmp_path):
+        m3 = self._mesh3()
+        p = str(tmp_path / "c3.msh")
+        m3.export(p)
+        back = TetMesh.from_file(p, keep_order=True)
+        assert back.order == 3
+        np.testing.assert_allclose(
+            np.sort(back.vertices, 0), np.sort(m3.vertices, 0), atol=1e-12
+        )
+        # order-1 reduction path
+        m1 = TetMesh.from_file(p)
+        assert m1.order == 1 and m1.tets.shape[1] == 4
+
+    @pytest.mark.parametrize("order", [1, 2, 3])
+    def test_constant_strain_energy_exact(self, order):
+        """Patch test: for u = G x the discrete energy u^T K u equals the
+        analytic V (mu (|G|^2 + tr(GG)) + lam tr(G)^2) at every order, and
+        u^T M u for a translation equals rho V."""
+        mesh = cube_tet_mesh(2, size=1.0)
+        if order > 1:
+            mesh = mesh.to_high_order(order)
+        mu, lam = lame_params(2.1e7, 0.3)
+        rho = 2.7
+        ops = assembly.build_element_ops(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), order,
+            dtype=jnp.float64,
+        )
+        G = np.array([[0.3, 0.1, -0.2], [0.0, -0.4, 0.25], [0.15, 0.05, 0.1]])
+        u = (mesh.vertices @ G.T).reshape(-1, 1)
+        ku = assembly.k_matvec(ops, jnp.asarray(u), mu, lam)
+        energy = float(u[:, 0] @ np.asarray(ku)[:, 0])
+        Vtot = mesh.volumes().sum() if order == 1 else 1.0
+        expect = Vtot * (
+            mu * ((G * G).sum() + np.trace(G @ G)) + lam * np.trace(G) ** 2
+        )
+        np.testing.assert_allclose(energy, expect, rtol=1e-10)
+
+        t = np.tile([1.0, 0.0, 0.0], mesh.num_vertices).reshape(-1, 1)
+        mt = assembly.m_matvec(ops, jnp.asarray(t), rho)
+        np.testing.assert_allclose(float(t[:, 0] @ np.asarray(mt)[:, 0]), rho * 1.0, rtol=1e-10)
+
+    def test_order3_modes_converge_to_order2(self):
+        """Free-free modal frequencies at ord 3 within a few % of ord 2 on
+        a coarse cube (and at or below: richer space => stiffer bound
+        relaxed)."""
+        import scipy.sparse.linalg as spl
+
+        mu, lam = lame_params(2.1e7, 0.3)
+        freqs = {}
+        for order in (2, 3):
+            mesh = cube_tet_mesh(2, size=1.0).to_high_order(order)
+            ops = assembly.build_element_ops(
+                jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), order,
+                dtype=jnp.float64,
+            )
+            K, M = assembly.assemble_scipy(ops, mu, lam, 2.7)
+            vals = spl.eigsh(K, k=12, M=M, sigma=0.0, which="LM")[0]
+            freqs[order] = np.sqrt(np.abs(vals[6:]))
+        rel = np.abs(freqs[3] - freqs[2]) / freqs[2]
+        assert rel.max() < 0.05, rel
+        # ord-3 Rayleigh quotients should not exceed ord-2 appreciably
+        assert np.all(freqs[3] <= freqs[2] * 1.001)

@@ -116,14 +116,36 @@ def synth_constant_modes(
     amps: (A, M); forces: optional (A, F).  Returns (A, num_samples).
     """
     dtype = amps.dtype
+    A, M = freqs.shape
+    # Large banks (material_real GT fit: 8 mics x 256 modes x 8000
+    # samples) materialize (A, M, T) intermediates in HBM on the XLA
+    # path; the fused Pallas kernel keeps mode state in VMEM and only
+    # writes the (A, T) output (backward recomputes via XLA).
+    # Probe-gated: falls back when Mosaic is unavailable through the
+    # PJRT backend.
+    if dtype == jnp.float32 and A * M * num_samples >= 4_000_000:
+        from .pallas_osc import pallas_available, synth_fused
+
+        if pallas_available():
+            sig = synth_fused(freqs, damps, amps, num_samples, sr)
+            if forces is not None:
+                sig = fft_convolve_force(sig, forces.astype(dtype))
+            return sig
+    sig = _synth_constant_modes_xla(freqs, damps, amps, num_samples, sr)
+    if forces is not None:
+        sig = fft_convolve_force(sig, forces.astype(dtype))
+    return sig
+
+
+def _synth_constant_modes_xla(freqs, damps, amps, num_samples, sr):
+    """The plain XLA body (also the backward recompute path for the
+    fused Pallas forward)."""
+    dtype = amps.dtype
     t = (jnp.arange(num_samples, dtype=jnp.float32) + 1.0) / sr  # (T,)
     phase = 2.0 * jnp.pi * _phase_cycles(freqs, num_samples, sr)
     envelope = jnp.exp(-damps[..., None] * t.astype(dtype))
     sig = amps[..., None] * envelope * jnp.sin(phase).astype(dtype)
-    sig = jnp.sum(sig, axis=-2)  # (A, T)
-    if forces is not None:
-        sig = fft_convolve_force(sig, forces.astype(dtype))
-    return sig
+    return jnp.sum(sig, axis=-2)  # (A, T)
 
 
 def synth_time_varying(

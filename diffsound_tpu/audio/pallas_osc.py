@@ -96,6 +96,60 @@ def pallas_synth(
     return out[:, :T]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def synth_fused(freqs, damps, amps, num_samples, sr):
+    """Differentiable wrapper: Pallas fused forward, XLA-recomputed
+    backward (the analytic cotangent contractions are exactly the XLA
+    path's vjp; forward memory is the win — eval / no-grad paths never
+    materialize the (A, M, T) intermediates)."""
+    return pallas_synth(freqs, damps, amps, num_samples, sr)
+
+
+def _synth_fused_fwd(freqs, damps, amps, num_samples, sr):
+    return pallas_synth(freqs, damps, amps, num_samples, sr), (freqs, damps, amps)
+
+
+def _synth_fused_bwd(num_samples, sr, res, g):
+    from .oscillator import _synth_constant_modes_xla
+
+    freqs, damps, amps = res
+    _, vjp = jax.vjp(
+        lambda f, d, a: _synth_constant_modes_xla(f, d, a, num_samples, sr),
+        freqs, damps, amps,
+    )
+    return vjp(g)
+
+
+synth_fused.defvjp(_synth_fused_fwd, _synth_fused_bwd)
+
+
+_PROBE = None
+
+
+def pallas_available() -> bool:
+    """One-time capability probe: Mosaic lowering through this PJRT
+    backend (the tunneled TPU plugin) is not guaranteed — run a tiny
+    kernel once and cache the verdict so the synthesis dispatch can fall
+    back to the XLA path silently."""
+    global _PROBE
+    if _PROBE is None:
+        if jax.default_backend() == "cpu":
+            _PROBE = False
+        else:
+            try:
+                r = pallas_synth(
+                    jnp.ones((1, 8), jnp.float32),
+                    jnp.ones((1, 8), jnp.float32),
+                    jnp.ones((1, 8), jnp.float32),
+                    128,
+                    32000.0,
+                )
+                _PROBE = bool(np.isfinite(np.asarray(r)).all())
+            except Exception:
+                _PROBE = False
+    return _PROBE
+
+
 def _call(kernel, A, M, Tp, block_t, head, tail, damps, amps, interpret):
     return pl.pallas_call(
         kernel,

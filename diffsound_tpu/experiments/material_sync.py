@@ -58,6 +58,37 @@ class MaterialSyncTask:
 
     # -- ground truth -------------------------------------------------------
 
+    def _dump_media(self, media_dir, epoch, model, osc, params, cache,
+                    gt_audio, forces, logger=None, n_fft: int = 512):
+        """Per-log-cycle observability: side-by-side log-spectrogram
+        figure + predicted/gt wav files (parity:
+        /root/reference/experiments/material_sync_train.py:187-202)."""
+        import os
+
+        import numpy as np
+
+        from ..audio.stft import spectrogram
+        from ..audio.io import write_wav
+        from ..utils.visualize import save_spec_figure
+
+        os.makedirs(media_dir, exist_ok=True)
+        freqs = model.get_undamped_freqs_cached(params, cache)
+        sig, _ = osc(freqs, forces, dtype=self.dtype)
+        pred = np.asarray(sig[0])
+        gt = np.asarray(gt_audio[0])
+        sp = np.log(np.asarray(spectrogram(jnp.asarray(pred), n_fft, n_fft // 4)) + 1e-7)
+        sg = np.log(np.asarray(spectrogram(jnp.asarray(gt), n_fft, n_fft // 4)) + 1e-7)
+        fig_path = os.path.join(media_dir, f"spec_{epoch:06d}.png")
+        save_spec_figure(fig_path, sg, sp)
+        scale = max(np.abs(pred).max(), np.abs(gt).max(), 1e-9)
+        write_wav(os.path.join(media_dir, f"pred_{epoch:06d}.wav"),
+                  pred / scale, int(self.sample_rate))
+        if epoch == 0:
+            write_wav(os.path.join(media_dir, "gt.wav"), gt / scale,
+                      int(self.sample_rate))
+        if logger is not None and hasattr(logger, "figure"):
+            logger.figure("spec", fig_path, epoch)
+
     def make_gt(self, gt_mat) -> tuple:
         """Ground-truth audio from an order-2 fixed-material model
         (material_sync_train.py:103-115)."""
@@ -91,6 +122,8 @@ class MaterialSyncTask:
         lr_late: float = 2e-3,
         checkpoint_dir: str = None,
         checkpoint_every: int = 1500,
+        media_dir: str = None,
+        media_every: int = 300,
     ) -> dict:
         model = build_model(
             mesh=self.mesh, mode_num=self.mode_num, order=self.mesh_order,
@@ -239,6 +272,13 @@ class MaterialSyncTask:
                     print(
                         f"epoch {log_epoch}: loss {float(loss):.5f} "
                         f"rmse {rmse:.4f} E {youngs:.4g} nu {poisson:.4f}"
+                    )
+                if media_dir is not None and log_epoch % media_every == 0:
+                    # spectrogram figure + audio dump per log cycle
+                    # (parity: material_sync_train.py:187-202)
+                    self._dump_media(
+                        media_dir, log_epoch, model, osc, params, cache,
+                        gt_audio, forces, logger,
                     )
         wall = time.perf_counter() - t_start
 
@@ -394,6 +434,7 @@ def main(argv=None):
             seed=i,
             checkpoint_dir=os.path.join(flags.out_dir, f"ckpt_pair{i}"),
             checkpoint_every=300,
+            media_dir=os.path.join(flags.out_dir, f"media_pair{i}"),
         )
         with open(results_path, "a") as f:
             f.write(

@@ -33,6 +33,22 @@ class MetricLogger:
         for tag, v in values.items():
             self.scalar(tag, v, step)
 
+    def figure(self, tag: str, image_path: str, step: int):
+        """Register a saved figure (TensorBoard add_image parity with the
+        reference's add_figure, material_sync_train.py:187-195)."""
+        rec = {"t": time.time(), "tag": tag, "image": image_path, "step": int(step)}
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+        if self._tb is not None:
+            try:
+                import numpy as np
+                from PIL import Image  # type: ignore
+
+                img = np.asarray(Image.open(image_path).convert("RGB"))
+                self._tb.add_image(tag, img, step, dataformats="HWC")
+            except Exception:
+                pass
+
     def close(self):
         self._fh.close()
         if self._tb is not None:

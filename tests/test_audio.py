@@ -281,3 +281,35 @@ class TestPallasSynth:
             pallas_synth(freqs, damps, amps, T, sr, block_t=256, interpret=True)
         )
         np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_synth_fused_vjp_matches_xla():
+    """Pallas fused synthesis (interpret mode): forward matches the XLA
+    path and the custom vjp gives identical parameter gradients."""
+    import jax
+    import jax.numpy as jnp
+    from diffsound_tpu.audio import pallas_osc
+    from diffsound_tpu.audio.oscillator import _synth_constant_modes_xla
+
+    rng = np.random.default_rng(0)
+    A, M, T, sr = 2, 8, 256, 32000.0
+    freqs = jnp.asarray(rng.uniform(50, 4000, (A, M)), jnp.float32)
+    damps = jnp.asarray(rng.uniform(1, 40, (A, M)), jnp.float32)
+    amps = jnp.asarray(rng.uniform(0.1, 1.0, (A, M)), jnp.float32)
+
+    out_p = pallas_osc.pallas_synth(freqs, damps, amps, T, sr, interpret=True)
+    out_x = _synth_constant_modes_xla(freqs, damps, amps, T, sr)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=2e-4)
+
+    def loss_fused(f, d, a):
+        return jnp.sum(pallas_osc.synth_fused(f, d, a, T, sr) ** 2)
+
+    def loss_xla(f, d, a):
+        return jnp.sum(_synth_constant_modes_xla(f, d, a, T, sr) ** 2)
+
+    # vjp correctness (the fused forward is CPU-fallback here; the custom
+    # bwd is exercised either way)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(freqs, damps, amps)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(freqs, damps, amps)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -64,13 +64,15 @@ def fft_convolve_force(signal: jnp.ndarray, forces: jnp.ndarray) -> jnp.ndarray:
     signal (A, T), forces (A, F) -> (A, T);
     out[a, n] = sum_k forces[a, k] * signal[a, n - k].
     """
+    from .stft import irfft_last, rfft_last
+
     A, T = signal.shape
     F = forces.shape[-1]
     n = T + F - 1
     nfft = 1 << (n - 1).bit_length()
-    S = jnp.fft.rfft(signal, n=nfft, axis=-1)
-    K = jnp.fft.rfft(forces, n=nfft, axis=-1)
-    out = jnp.fft.irfft(S * K, n=nfft, axis=-1)
+    S = rfft_last(signal, nfft, T)
+    K = rfft_last(forces, nfft, F)
+    out = irfft_last(S * K, nfft)
     return out[:, :T].astype(signal.dtype)
 
 

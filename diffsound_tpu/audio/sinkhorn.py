@@ -37,8 +37,11 @@ def _sinkhorn_potentials(Cxy, Cyx, loga, logb, eps_schedule):
     final potentials (f on x, g on y)."""
 
     n, m = Cxy.shape
-    f = jnp.zeros((n,), Cxy.dtype)
-    g = jnp.zeros((m,), Cxy.dtype)
+    # zero potentials tied (exactly zero-valued) to the cost matrices'
+    # varying type: under shard_map's vma checker the scan carry must
+    # enter with the varying axes it acquires inside the body
+    f = 0.0 * Cxy[:, 0]
+    g = 0.0 * Cyx[:, 0]
 
     def step(carry, eps):
         f, g = carry

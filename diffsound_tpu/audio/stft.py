@@ -12,8 +12,69 @@ multiply and the squared magnitude.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+# The builtin fft TRANSPOSE rule is incompatible with shard_map's
+# varying-manual-axes checker: grad-through-fft inside
+# vmap-inside-shard_map raises "cotangent type does not match function
+# output" (verified on a 10-line repro; the transpose rule rebuilds the
+# primal aval without the varying axes).  custom_vjp sidesteps
+# transposition entirely, with the analytic adjoints (numerically
+# identical to the builtin vjps — see tests/test_audio.py):
+#   adjoint(rfft)(g)  = n * irfft(conj(g) * w_half)   (interior bins 1/2)
+#   adjoint(irfft)(g) = conj(rfft(g)) * w_double / n  (interior bins x2)
+
+
+def _interior_weights(n: int, value: float):
+    K = n // 2 + 1
+    w = np.full((K,), value)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    return w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def rfft_last(x, n: int, x_len: int):
+    """rfft over the last axis (zero-padded to n) with a custom vjp;
+    x_len = x.shape[-1] (static)."""
+    return jnp.fft.rfft(x, n=n, axis=-1)
+
+
+def _rfft_last_fwd(x, n, x_len):
+    return jnp.fft.rfft(x, n=n, axis=-1), None
+
+
+def _rfft_last_bwd(n, x_len, _, g):
+    w = jnp.asarray(_interior_weights(n, 0.5), g.real.dtype)
+    full = jnp.fft.irfft(jnp.conj(g) * w, n, axis=-1) * n
+    return (full[..., :x_len],)
+
+
+rfft_last.defvjp(_rfft_last_fwd, _rfft_last_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def irfft_last(y, n: int):
+    """irfft over the last axis with a custom vjp (see above)."""
+    return jnp.fft.irfft(y, n=n, axis=-1)
+
+
+def _irfft_last_fwd(y, n):
+    return jnp.fft.irfft(y, n=n, axis=-1), None
+
+
+def _irfft_last_bwd(n, _, g):
+    w = jnp.asarray(_interior_weights(n, 2.0), g.dtype)
+    return (jnp.conj(jnp.fft.rfft(g, n=n, axis=-1)) * w / n,)
+
+
+irfft_last.defvjp(_irfft_last_fwd, _irfft_last_bwd)
 
 
 def hann_window(n: int, dtype=jnp.float32):
@@ -65,7 +126,7 @@ def spectrogram(x: jnp.ndarray, n_fft: int, hop: int, power: float = 2.0):
     """(..., T) -> (..., n_fft//2 + 1, num_frames) magnitude^power."""
     frames = frame_signal(x, n_fft, hop, center=True)
     win = hann_window(n_fft, dtype=x.dtype)
-    spec = jnp.fft.rfft(frames * win, axis=-1)  # (..., frames, bins)
+    spec = rfft_last(frames * win, frames.shape[-1], frames.shape[-1])  # (..., frames, bins)
     mag = jnp.abs(spec)
     if power != 1.0:
         mag = mag**power

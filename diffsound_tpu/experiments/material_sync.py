@@ -335,7 +335,7 @@ def train_pairs_parallel(task: MaterialSyncTask, pairs, flags, logger):
     forces = impulse_forces(1, task.force_frame_num, task.dtype)
     trainer = MultipairTrainer(
         bins=model.bins, ops=model.ops, osc=osc, mesh=dmesh, forces=forces,
-        sample_rate=task.sample_rate, lr=2e-3, refresh_iters=4,
+        sample_rate=task.sample_rate, lr=2e-3,
     )
 
     gt_audios = []
@@ -352,7 +352,8 @@ def train_pairs_parallel(task: MaterialSyncTask, pairs, flags, logger):
     t0 = time.perf_counter()
     for epoch in range(flags.max_epoch):
         params_b, opt_b, loss_b, eigval_b, eigvec_b = trainer.step(
-            params_b, opt_b, eigval_b, eigvec_b, gt_b
+            params_b, opt_b, eigval_b, eigvec_b, gt_b,
+            refresh=(epoch % EIGEN_DECOMPOSE_CYCLE == 0 and epoch > 0),
         )
         if epoch % EIGEN_DECOMPOSE_CYCLE == 0:
             losses = np.asarray(loss_b)

@@ -402,3 +402,88 @@ class FEMOperators:
     @property
     def num_dof(self):
         return 3 * self.ops.num_vertices
+
+
+# ---------------------------------------------------------------------------
+# General stress path (arbitrary / learned materials)
+# ---------------------------------------------------------------------------
+
+
+class DeformOps(NamedTuple):
+    """Per-(element, gauss) B-matrices + integration weights — the
+    matrix-free K action through an arbitrary stress function sigma(F)
+    (counterpart of the reference's Deform.gradient_batch +
+    stress_to_force_batch pipeline, /root/reference/src/diffelastic/
+    deform.py:70-166, which `stiff_func` drives per mode,
+    diff_model.py:314-328).
+
+    The factored (k_mu, k_lam) fast path hard-codes isotropic linear
+    elasticity; this path supports ANY differentiable stress model —
+    `material.TinyNN` in particular — at per-gauss-point cost."""
+
+    tets: jax.Array  # (E, N) int32
+    B: jax.Array  # (E, G, N, 3) world-space shape gradients
+    w: jax.Array  # (E, G) gauss weight x |det A| (masked tets: 0)
+    num_vertices: int
+    gather_idx: Optional[jax.Array] = None
+
+
+def build_deform_ops(
+    vertices: jax.Array,
+    tets: jax.Array,
+    order: int,
+    dtype=jnp.float32,
+    tet_mask: Optional[jax.Array] = None,
+) -> DeformOps:
+    order = int(order)
+    vertices = vertices.astype(dtype)
+    _, wts = gauss_tet_quadrature(order + 2)
+    wts = jnp.asarray(wts, dtype=dtype)
+    dndx_ref = jnp.asarray(shape_grad_table(order), dtype=dtype)  # (G, N, 3)
+    corners = tuple(CORNER_NODES[order])
+    c = tets[:, list(corners)]
+    v1, v2, v3, v4 = (vertices[c[:, i]] for i in range(4))
+    A = jnp.stack([v1 - v4, v2 - v4, v3 - v4], axis=-1)
+    detA, A_inv = inv3x3(A, safe=True)
+    B = jnp.sum(
+        dndx_ref[None, :, :, :, None] * A_inv[:, None, None, :, :], axis=3
+    )  # (E, G, N, 3)
+    w = wts[None, :] * jnp.abs(detA)[:, None]
+    if tet_mask is not None:
+        w = w * tet_mask.astype(dtype)[:, None]
+    return DeformOps(
+        tets=tets.astype(jnp.int32), B=B, w=w,
+        num_vertices=int(vertices.shape[0]),
+    )
+
+
+def deformation_gradients(dops: DeformOps, x: jax.Array) -> jax.Array:
+    """x (3V, k) modal displacements -> F (E, G, k, 3, 3) per gauss point:
+    F_ij = sum_a u[a, i] B[a, j]."""
+    k = x.shape[-1]
+    xv = x.reshape(dops.num_vertices, 3, k)
+    xe = xv[dops.tets]  # (E, N, 3, k)
+    return precise_einsum("eaik,egaj->egkij", xe, dops.B)
+
+
+def k_matvec_stress(dops: DeformOps, stress_fn, x: jax.Array) -> jax.Array:
+    """K @ X through an arbitrary stress function (reference stiff_func,
+    diff_model.py:314-328): F -> sigma(F) -> nodal forces.
+
+    stress_fn: (..., 3, 3) -> (..., 3, 3); exactly equals the factored
+    path when stress_fn is isotropic linear elasticity (tested)."""
+    F = deformation_gradients(dops, x)  # (E, G, k, 3, 3)
+    sigma = stress_fn(F)
+    sw = sigma * dops.w[:, :, None, None, None]
+    ye = precise_einsum("egkij,egaj->eaik", sw, dops.B)  # (E, N, 3, k)
+    E_, N_ = dops.tets.shape
+    k = x.shape[-1]
+    flat = ye.reshape(E_ * N_, 3 * k)
+    if dops.gather_idx is not None:
+        rows = jnp.concatenate([flat, jnp.zeros((1, 3 * k), flat.dtype)], axis=0)
+        out = jnp.sum(rows[dops.gather_idx], axis=1)
+    else:
+        out = jax.ops.segment_sum(
+            flat, dops.tets.reshape(-1), num_segments=dops.num_vertices
+        )
+    return out.reshape(dops.num_vertices * 3, k)

@@ -77,3 +77,61 @@ def elasticity_tensor(youngs, poisson, dtype=jnp.float64):
         jnp.einsum("ik,jl->ijkl", eye, eye) + jnp.einsum("il,jk->ijkl", eye, eye)
     ) + lam * jnp.einsum("ij,kl->ijkl", eye, eye)
     return c.reshape(9, 9)
+
+
+class TinyNN:
+    """Learned stress model: 3-layer MLP F(9) -> sigma(9) with tanh output
+    (parity: /root/reference/src/diffelastic/material_model.py:28-56).
+
+    The output is scaled by `stress_scale` so the tanh squashing operates
+    on O(1) values (the reference feeds density-normalized quantities).
+    Drives `assembly.k_matvec_stress` — the general stress path the
+    factored isotropic operators cannot express."""
+
+    def __init__(self, mid_dim: int = 32, non_linear: bool = True,
+                 stress_scale: float = 1.0):
+        self.mid_dim = mid_dim
+        self.non_linear = non_linear
+        self.stress_scale = stress_scale
+
+    def init_params(self, key, dtype=jnp.float32):
+        import jax
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        m = self.mid_dim
+        return {
+            "w1": jax.random.normal(k1, (9, m), dtype) * jnp.sqrt(2.0 / 9),
+            "b1": jnp.zeros((m,), dtype),
+            "w2": jax.random.normal(k2, (m, m), dtype) * jnp.sqrt(2.0 / m),
+            "b2": jnp.zeros((m,), dtype),
+            "w3": jax.random.normal(k3, (m, 9), dtype) * jnp.sqrt(1.0 / m),
+            "b3": jnp.zeros((9,), dtype),
+        }
+
+    def stress(self, params, F):
+        """F (..., 3, 3) -> sigma (..., 3, 3)."""
+        import jax
+
+        x = F.reshape(*F.shape[:-2], 9)
+        x = x @ params["w1"] + params["b1"]
+        if self.non_linear:
+            x = jax.nn.relu(x)
+        x = x @ params["w2"] + params["b2"]
+        if self.non_linear:
+            x = jax.nn.relu(x)
+        x = x @ params["w3"] + params["b3"]
+        x = jnp.tanh(x) * self.stress_scale
+        return x.reshape(*F.shape[:-2], 3, 3)
+
+    def stress_fn(self, params):
+        return lambda F: self.stress(params, F)
+
+    def jacobian_F(self, params, dtype=jnp.float64):
+        """9x9 elasticity tensor d(sigma)/d(F) at F = 0 (parity:
+        diff_model.py:45-48 jacobian_F)."""
+        import jax
+
+        flat = lambda f9: self.stress(
+            params, f9.reshape(3, 3).astype(dtype)
+        ).reshape(9)
+        return jax.jacobian(flat)(jnp.zeros(9, dtype))

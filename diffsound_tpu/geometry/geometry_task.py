@@ -40,6 +40,8 @@ class GeometryTask:
         sigma: float = 20000.0,
         extra_modes: int = 6,
         tets_dir: Optional[str] = None,
+        eig_method: str = "warm",
+        reanchor_every: int = 50,
     ):
         kw = {} if tets_dir is None else {"tets_dir": tets_dir}
         verts, tets = load_background_grid(grid_res, **kw)
@@ -54,6 +56,19 @@ class GeometryTask:
         self.sigma = sigma
         self.extra_modes = extra_modes
         self._loss_cache = {}
+        if eig_method == "warm":
+            # the SDF/deform geometry moves faster per iteration than the
+            # scalar shape tasks; a periodic host re-anchor bounds drift
+            from .warm_eigs import WarmShapeEigensolver
+
+            self.warm = WarmShapeEigensolver(
+                self.marching.num_grid_verts + self.marching.num_edges,
+                mode_num + extra_modes,
+                dtype=jnp.float32 if jax.default_backend() != "cpu" else self.dtype,
+                reanchor_every=reanchor_every,
+            )
+        else:
+            self.warm = None
 
     def _lame(self):
         return lame_params(self.mat.youngs / self.mat.density, self.mat.poisson)
@@ -150,7 +165,16 @@ class GeometryTask:
         out = self._march_params(params_host)
         comp = MarchingTets.compact(out)
         k = len(target) + self.extra_modes
-        lam, U = self._eigensolve_host(out, comp, k)
+        if self.warm is None or k != self.warm.k:
+            # host path (also covers the experiment's mode-count sweep,
+            # where k differs from the warm solver's fixed basis width)
+            lam, U = self._eigensolve_host(out, comp, k)
+        else:
+            mu, lame_l = self._lame()
+            lam, U = self.warm.solve(
+                out, comp, float(mu), float(lame_l),
+                host_solve=lambda: self._eigensolve_host(out, comp, k),
+            )
 
         key = (len(comp["keep_idx"]), comp["tets"].shape[0])
         if key not in self._loss_cache:

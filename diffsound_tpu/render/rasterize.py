@@ -16,11 +16,13 @@ a TPU-first design:
     from the clip-space vertices, so gradients flow from interpolated
     attributes to vertex positions exactly like dr.interpolate.
   * **Silhouette gradients**: instead of dr.antialias's edge-stitching
-    kernel, a soft-coverage channel aggregates a sigmoid of the signed
-    screen-space distance to each triangle (SoftRas-style transmittance
-    product), giving smooth d(alpha)/d(vertex) at silhouettes; interior
-    pixels saturate to 1 so the hard and soft channels agree away from
-    edges.
+    kernel, a soft-coverage channel takes the per-pixel MAX of a sigmoid
+    of the signed screen-space distance to each triangle (SoftRas-style,
+    but max-union instead of transmittance product — see the in-body
+    comment: the product's seam factors break gradient cancellation
+    under pixel-weighted losses), giving smooth d(alpha)/d(vertex) at
+    silhouettes; interior pixels saturate to 1 so the hard and soft
+    channels agree away from edges.
   * **Depth peeling** re-runs the sweep constrained to depths strictly
     behind the previous layer (replaces dr.DepthPeeler).
 
@@ -110,7 +112,7 @@ def _sweep(
     inf = jnp.float32(np.inf)
 
     def body(carry, inp):
-        best_z, best_id, log_trans = carry
+        best_z, best_id, soft_agg = carry
         ctris, cmask, cids = inp
         pa, pb, pc, za, zb, zc, area, valid_w, _ = _tri_setup(v_clip, ctris)
         s = jnp.sign(area)
@@ -152,18 +154,26 @@ def _sweep(
             d = jnp.minimum(jnp.minimum(d0, d1), d2)
             soft = jax.nn.sigmoid(d / sigma)
             soft = jnp.where(ok, soft, 0.0)
-            log_trans = log_trans + jnp.sum(jnp.log1p(-soft * (1 - 1e-6)), axis=0)
-        return (best_z, best_id, log_trans), None
+            # union by MAX, not transmittance product: with the product,
+            # the two factors of an interior seam weight its two sides
+            # differently, so seam gradients fail to cancel under any
+            # pixel-weighted loss (measured: d(mean alpha^2)/d(scale) < 0
+            # for a growing sphere).  With max, an interior pixel's
+            # aggregate is exactly its containing triangle's sigmoid, seam
+            # motion shifts equal-weighted pixels symmetrically, and only
+            # true silhouette edges leave a net gradient.
+            soft_agg = jnp.maximum(soft_agg, jnp.max(soft, axis=0))
+        return (best_z, best_id, soft_agg), None
 
     init = (
         jnp.full((H, W), np.inf, jnp.float32),
         jnp.zeros((H, W), jnp.int32),
         jnp.zeros((H, W), jnp.float32),
     )
-    (best_z, best_id, log_trans), _ = jax.lax.scan(
+    (best_z, best_id, soft_agg), _ = jax.lax.scan(
         body, init, (tris_c, mask_c, ids_c)
     )
-    alpha_soft = 1.0 - jnp.exp(log_trans) if with_soft else (best_id > 0).astype(jnp.float32)
+    alpha_soft = soft_agg if with_soft else (best_id > 0).astype(jnp.float32)
     return best_z, best_id, alpha_soft
 
 
@@ -221,6 +231,7 @@ def rasterize(
     int32, tri_mask optional (T,) validity for capacity-padded buffers.
     """
     H, W = resolution
+    v_clip = v_clip.astype(jnp.float32)  # the sweep carries are f32
     if tri_mask is None:
         tri_mask = jnp.ones(tris.shape[0], bool)
     if chunk is None:

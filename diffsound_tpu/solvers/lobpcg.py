@@ -229,6 +229,11 @@ def lobpcg(
     p0 = jax.random.normal(key, (n, m), dtype=dtype)
     if row_mask is not None:
         p0 = p0 * row_mask[:, None]
+    # tie the device-axis-unvarying random seed block to x0's varying
+    # type (exactly zero-valued): under shard_map's vma checker the
+    # while_loop carry must enter with the same varying axes it acquires
+    # inside the body, and this solver cannot know the caller's axis names
+    p0 = p0 + 0.0 * x0
 
     def body(state):
         X, AX, BX, P, AP, BP, theta, _, it, hist = state
@@ -332,10 +337,10 @@ def lobpcg(
     BP0 = b_fn(p0)
 
     hist0 = jnp.full((max_iters if record_history else 1,), jnp.nan, dtype=dtype)
-    init = (
-        X, AX, BX, p0, AP0, BP0, theta0,
-        jnp.full((m,), jnp.inf, dtype=dtype), jnp.array(0), hist0,
-    )
+    rel0 = jnp.full((m,), jnp.inf, dtype=dtype) + 0.0 * theta0  # varying tie
+    if record_history:
+        hist0 = hist0 + 0.0 * theta0[0]
+    init = (X, AX, BX, p0, AP0, BP0, theta0, rel0, jnp.array(0), hist0)
     if profiler is None:
         X, AX, BX, P, AP, BP, theta, rel, it, hist = jax.lax.while_loop(
             cond, body, init

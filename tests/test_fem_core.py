@@ -418,3 +418,52 @@ class TestOrder3:
         assert rel.max() < 0.05, rel
         # ord-3 Rayleigh quotients should not exceed ord-2 appreciably
         assert np.all(freqs[3] <= freqs[2] * 1.001)
+
+
+class TestStressPath:
+    """General stress-path K action (reference stiff_func /
+    Deform.stress_to_force_batch) + TinyNN learned material."""
+
+    def test_linear_stress_matches_factored_path(self):
+        from diffsound_tpu.fem.material import linear_stress
+
+        mesh = cube_tet_mesh(2, size=1.0).to_high_order(2)
+        youngs, poisson = 2.1e7, 0.3
+        mu, lam = lame_params(youngs, poisson)
+        v, t = jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets)
+        ops = assembly.build_element_ops(v, t, 2, dtype=jnp.float64)
+        dops = assembly.build_deform_ops(v, t, 2, dtype=jnp.float64)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(3 * mesh.num_vertices, 5)))
+        y_fact = assembly.k_matvec(ops, x, mu, lam)
+        y_stress = assembly.k_matvec_stress(
+            dops, lambda F: linear_stress(F, youngs, poisson), x
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_stress), np.asarray(y_fact),
+            rtol=1e-9, atol=1e-9 * float(jnp.abs(y_fact).max()),
+        )
+
+    def test_tinynn_stress_path_runs_and_differentiates(self):
+        import jax
+        from diffsound_tpu.fem.material import TinyNN
+
+        mesh = cube_tet_mesh(2, size=1.0)
+        v, t = jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets)
+        dops = assembly.build_deform_ops(v, t, 1, dtype=jnp.float64)
+        nn = TinyNN(mid_dim=16, stress_scale=1e5)
+        params = nn.init_params(jax.random.PRNGKey(0), dtype=jnp.float64)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(3 * mesh.num_vertices, 3)))
+
+        def quad(p):
+            y = assembly.k_matvec_stress(dops, nn.stress_fn(p), x)
+            return jnp.sum(x * y)
+
+        val, g = jax.value_and_grad(quad)(params)
+        assert np.isfinite(float(val))
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+        assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g)) > 0
+        # the 9x9 elasticity jacobian at F=0 exists and is finite
+        C = nn.jacobian_F(params)
+        assert C.shape == (9, 9) and bool(jnp.all(jnp.isfinite(C)))

@@ -121,3 +121,58 @@ class TestJointTask:
         assert len(hist) == 3
         assert np.isfinite(best["loss"])
         assert best["verts"].shape[1] == 3 and best["tets"].shape[1] == 4
+
+
+class TestDLMesh:
+    def test_vertex_optimization_shrinks_to_silhouette(self):
+        """DLMesh (dlmesh.py:20-85 parity): optimizing vertex positions
+        against an empty target image shrinks the rendered coverage."""
+        import jax
+        from diffsound_tpu.geometry.dlmesh import DLMesh
+        from diffsound_tpu.render import mesh as rmesh
+        from diffsound_tpu.render.light import EnvironmentLight
+        from diffsound_tpu.render.mlptexture import MLPTexture3D
+        from tests.test_geometry import icosphere
+
+        v, f = icosphere(1, radius=0.5)
+        base = rmesh.Mesh(
+            v_pos=jnp.asarray(v, jnp.float32),
+            t_pos_idx=jnp.asarray(f, jnp.int32),
+        )
+        light = EnvironmentLight(base_res=8)
+        tex = MLPTexture3D((np.array([-1.0, -1, -1]), np.array([1.0, 1, 1])))
+        geo = DLMesh(base, light, {"kd_ks_normal": tex, "bsdf": "pbr"},
+                     laplace_scale=100.0, total_iters=40)
+        k = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(k)
+        params = geo.init_params(
+            k, tex.init_params(k1), light.init_params(k2)
+        )
+        campos = np.array([0.0, 0.0, 2.5])
+        targets = [{"img": np.zeros((32, 32, 4), np.float32),
+                    "mvp": _look_at_mvp(campos), "campos": campos}]
+
+        # first-order correctness of the silhouette gradient: a descent
+        # step along d(alpha MSE)/d(v_pos) must shrink rendered coverage
+        def alpha_mse(v_pos):
+            buf = geo.render({**params, "v_pos": v_pos},
+                             targets[0]["mvp"], campos, (32, 32))
+            return jnp.mean(buf["shaded"][..., 3] ** 2)
+
+        def coverage(v_pos):
+            buf = geo.render({**params, "v_pos": v_pos},
+                             targets[0]["mvp"], campos, (32, 32))
+            return float(jnp.sum(buf["shaded"][..., 3]))
+
+        g = jax.grad(alpha_mse)(params["v_pos"])
+        assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+        step = 0.05 / float(jnp.abs(g).max())
+        c0 = coverage(params["v_pos"])
+        c1 = coverage(params["v_pos"] - step * g)
+        assert c1 < c0, (c0, c1)
+
+        # the optimization loop runs end to end and moves the vertices
+        params, hist = geo.optimize(params, targets, iters=10, lr=1e-2,
+                                    resolution=(32, 32), verbose=False)
+        assert np.isfinite(hist[-1]["loss"])
+        assert float(jnp.abs(params["v_pos"] - geo.initial_v_pos).max()) > 1e-4

@@ -1,11 +1,13 @@
-"""Banded vs element-local K matvec on the bowl (ord 2) — the
-integrate-or-remove measurement for fem/banded.py.
+"""K matvec wall-clock on the bowl (ord 2) — the production element-path
+operator (frozen pre-split blocks + gather-transpose scatter) inside the
+warm LOBPCG.
 
-Run on the TPU: python benchmarks/matvec_bench.py
-Prints one JSON line with per-matvec wall-clock for:
-  * element path (frozen pre-split blocks + gather-transpose scatter) —
-    the production operator inside the warm LOBPCG;
-  * banded path (RCM-permuted 128-row dense blocks).
+A block-banded (RCM) alternative was benchmarked here and REMOVED after
+measuring 14x slower on CPU and a 7 GB constant blow-up on the bowl's
+RCM bandwidth on TPU (BENCH_NOTES.md round 2; the implementation is in
+git history at fem/banded.py before its removal commit).
+
+Run: python benchmarks/matvec_bench.py
 """
 
 import json
@@ -37,10 +39,8 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
-    import numpy as np
 
     from diffsound_tpu.fem import assembly
-    from diffsound_tpu.fem.banded import build_banded_pencil
     from diffsound_tpu.fem.material import lame_params
     from diffsound_tpu.fem.mesh import TetMesh, cube_tet_mesh
 
@@ -55,37 +55,17 @@ def main():
     fz = assembly.freeze_stiffness(ops, mu, lam)
     k_elem = jax.jit(lambda x: assembly.k_matvec_frozen(ops, fz, x))
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        host_ops = assembly.build_element_ops(
-            jax.device_put(jnp.asarray(mesh.vertices), cpu),
-            jax.device_put(jnp.asarray(mesh.tets), cpu),
-            2, dtype=jnp.float64,
-        )
-    pencil = build_banded_pencil(host_ops)
-    k_band = jax.jit(
-        lambda x: pencil.unpermute(pencil.k_matvec(pencil.permute(x), mu, lam))
-    )
-
     n = 3 * mesh.num_vertices
     for m in (22, 70):
         x = jax.random.normal(jax.random.PRNGKey(0), (n, m), jnp.float32)
         t_elem = timed(k_elem, x)
-        t_band = timed(k_band, x)
-        # agreement
-        ye = np.asarray(k_elem(x))
-        yb = np.asarray(k_band(x))
-        rel = float(
-            np.linalg.norm(ye - yb) / max(np.linalg.norm(ye), 1e-30)
-        )
         print(
             json.dumps(
                 {
                     "metric": "k_matvec_ms",
                     "block_width": m,
                     "element_ms": t_elem * 1e3,
-                    "banded_ms": t_band * 1e3,
-                    "rel_diff": rel,
+                    "dof": n,
                     "backend": jax.default_backend(),
                 }
             )

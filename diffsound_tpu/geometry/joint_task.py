@@ -158,6 +158,16 @@ class JointImageAudioTask:
         self.material = {"kd_ks_normal": self.texture, "bsdf": "pbr"}
         self._loss_cache = {}
         self._edges = jnp.asarray(self.marching.unique_edges)
+        # device-resident warm eigensolver across remeshes (geometry/
+        # warm_eigs.py); cold/low-overlap iterations fall back to host
+        from .warm_eigs import WarmShapeEigensolver
+
+        self.warm = WarmShapeEigensolver(
+            self.marching.num_grid_verts + self.marching.num_edges,
+            mode_num + extra_modes,
+            dtype=jnp.float32 if jax.default_backend() != "cpu" else jnp.float64,
+            reanchor_every=50,
+        )
 
     # -- parameters ---------------------------------------------------------
 
@@ -280,7 +290,16 @@ class JointImageAudioTask:
         comp = MarchingTets.compact(out)
         tric = MarchingTets.compact_triangles_padded(out, tri_bucket)
         k = len(target_vals) + self.extra_modes
-        lam, U = self._eigensolve_host(out, comp, k)
+        if self.warm is not None and k == self.warm.k:
+            from ..fem.material import lame_params as _lp
+
+            mu, lame_l = _lp(self.mat.youngs / self.mat.density, self.mat.poisson)
+            lam, U = self.warm.solve(
+                out, comp, float(mu), float(lame_l),
+                host_solve=lambda: self._eigensolve_host(out, comp, k),
+            )
+        else:
+            lam, U = self._eigensolve_host(out, comp, k)
         v_tex, t_tex_idx = map_uv(tric["face_gidx"], out.surf_tris.shape[0])
 
         sig = (len(comp["keep_idx"]), comp["tets"].shape[0],

@@ -4,24 +4,28 @@ The reference re-runs CPU ARPACK shift-invert from scratch every
 iteration of the thickness / morphing / geometry loops
 (/root/reference/experiments/thickness_train.py:42-90 ->
 dmtet_thickness.py:287-292 -> diff_model.py:335-369) — the dominant cost
-of every shape task.  This module removes the host round trip from the
-steady state:
+of every shape task.  This module removes both the host eigensolve AND
+the host round trip of the basis from the steady state:
 
-  * the eigenvector basis is stored in GLOBAL background-grid slot
-    coordinates ((V + Eg) x 3 x k) — the one indexing that is stable
-    across remeshes.  Marching-tets compaction changes the vertex count
-    every iteration, but both the old and the new compact mesh index
-    into the same global slot array, so the previous basis maps onto the
-    new mesh by scatter (old keep_idx) + gather (new keep_idx);
-  * the mapped basis warm-starts a diagonally-scaled on-device LOBPCG
-    over the bucket-padded element operators — same bucket signature =>
-    same cached jit program, geometry moves slowly => few iterations;
+  * the eigenvector basis lives in GLOBAL background-grid slot
+    coordinates ((V + Eg + 1) x 3 x k, last row = scatter dump) — the one
+    indexing that is stable across remeshes.  Marching-tets compaction
+    changes the vertex count every iteration, but old and new compact
+    meshes index the same global slots, so the basis maps across the
+    remesh by gather (new keep_idx) / scatter (keep_idx with pads
+    redirected to the dump row);
+  * gather -> diagonally-scaled LOBPCG over the bucket-padded element
+    operators -> scatter-back are ONE jitted program per bucket
+    signature; the (slots, 3, k) storage is donated through it and never
+    crosses the host boundary (on a tunneled TPU the basis alone is
+    ~20 MB/iteration of transfers at ~MB/s — measured 80 s/iteration on
+    the grid-64 thickness task before this design);
   * pad rows need no spurious-eigenvalue shifting: the capacity-padded
     operators never read or write them, and `lobpcg(row_mask=...)` keeps
-    the solver's internal random vectors zero there, so the padded
-    pencil IS the compact pencil;
+    the solver's internal random vectors zero there;
   * cold starts (first iteration, low slot overlap after a topology
-    jump, or an explicit re-anchor cadence) fall back to host ARPACK.
+    jump, a diverged-residual escalation, or an explicit re-anchor
+    cadence) fall back to host ARPACK and push the basis once.
 
 Eigenvalue accuracy: the Rayleigh correction downstream is first-order
 exact in the material/geometry params and O(residual^2) in the basis
@@ -70,7 +74,7 @@ class WarmShapeEigensolver:
         self.reanchor_every = reanchor_every
         self.min_overlap = min_overlap
 
-        self.U_global: Optional[np.ndarray] = None  # (slots, 3, k)
+        self.U_global = None  # device (slots + 1, 3, k); row slots = dump
         self.seen = np.zeros(num_global_slots, bool)
         self.warm_count = 0  # consecutive warm solves since last anchor
         self.total_warm = 0
@@ -78,38 +82,56 @@ class WarmShapeEigensolver:
         self.last_iterations = 0
         self.last_mode = "none"
         self._solve_cache = {}
+        self._store_fn = None
 
-    # -- global-slot basis mapping ------------------------------------------
+    # -- host <-> device basis management -----------------------------------
 
-    def store(self, comp, U: np.ndarray):
-        """Scatter a compact basis (3*vpad, k) into global slots."""
+    def _ensure_storage(self):
+        if self.U_global is None:
+            self.U_global = jnp.zeros(
+                (self.num_global_slots + 1, 3, self.k), jnp.float32
+            )
+
+    def _keep_store(self, comp) -> np.ndarray:
+        """keep_idx with pad rows redirected to the dump slot (duplicate
+        scatter targets on slot 0 would otherwise race)."""
+        keep = np.asarray(comp["keep_idx"]).copy()
+        keep[comp["num_verts"]:] = self.num_global_slots
+        return keep
+
+    def store_host(self, comp, U: np.ndarray):
+        """Push a host basis (cold solves) into the device storage."""
+        self._ensure_storage()
+        if self._store_fn is None:
+            donate = () if jax.default_backend() == "cpu" else (0,)
+            self._store_fn = jax.jit(
+                lambda Ug, keep, U3: Ug.at[keep].set(U3),
+                donate_argnums=donate,
+            )
+        vpad = len(comp["keep_idx"])
+        U3 = jnp.asarray(
+            np.asarray(U, np.float32).reshape(vpad, 3, self.k)
+        )
+        self.U_global = self._store_fn(
+            self.U_global, jnp.asarray(self._keep_store(comp)), U3
+        )
+        self.seen[np.asarray(comp["keep_idx"])[: comp["num_verts"]]] = True
+
+    def overlap(self, comp) -> float:
         nv = comp["num_verts"]
         keep = np.asarray(comp["keep_idx"])[:nv]
-        U3 = np.asarray(U).reshape(-1, 3, self.k)[:nv]
-        if self.U_global is None:
-            self.U_global = np.zeros(
-                (self.num_global_slots, 3, self.k), np.float32
-            )
-        self.U_global[keep] = U3
-        self.seen[keep] = True
+        return float(self.seen[keep].mean()) if nv else 0.0
 
-    def gather(self, comp) -> Tuple[np.ndarray, float]:
-        """-> (x0 (3*vpad, k), overlap fraction) for the new mesh."""
-        vpad = len(comp["keep_idx"])
-        nv = comp["num_verts"]
-        keep = np.asarray(comp["keep_idx"])
-        x0 = self.U_global[keep]  # (vpad, 3, k)
-        x0[nv:] = 0.0
-        overlap = float(self.seen[keep[:nv]].mean()) if nv else 0.0
-        return x0.reshape(3 * vpad, self.k), overlap
-
-    # -- the jitted warm solve ----------------------------------------------
+    # -- the fused jitted gather + solve + scatter-back ---------------------
 
     def _solve_fn(self, vpad: int, tpad: int, D: int):
         key = (vpad, tpad, D)
         if key not in self._solve_cache:
 
-            def core(verts_c, tets_c, tet_mask, gather_idx, dof_mask, x0, mu, lam):
+            def core(U_global, keep_gather, keep_store, verts_c, tets_c,
+                     tet_mask, gather_idx, dof_mask, mu, lam):
+                x0 = U_global[keep_gather].reshape(3 * vpad, self.k)
+                x0 = x0 * dof_mask[:, None]
                 ops = assembly.build_element_ops(
                     verts_c, tets_c, 1, dtype=self.dtype, tet_mask=tet_mask
                 )
@@ -135,14 +157,13 @@ class WarmShapeEigensolver:
                     reuse_products=self.dtype == jnp.float32,
                     row_mask=dof_mask,
                 )
-                return (
-                    res.eigenvalues,
-                    dsc[:, None] * res.eigenvectors,
-                    res.iterations,
-                    res.residual_norms,
-                )
+                vecs = dsc[:, None] * res.eigenvectors
+                U3 = vecs.astype(jnp.float32).reshape(vpad, 3, self.k)
+                U_new = U_global.at[keep_store].set(U3)
+                return res.eigenvalues, vecs, U_new, res.iterations, res.residual_norms
 
-            self._solve_cache[key] = jax.jit(core)
+            donate = () if jax.default_backend() == "cpu" else (0,)
+            self._solve_cache[key] = jax.jit(core, donate_argnums=donate)
         return self._solve_cache[key]
 
     # -- public entry --------------------------------------------------------
@@ -154,21 +175,20 @@ class WarmShapeEigensolver:
         mu: float,
         lam: float,
         host_solve: Callable[[], Tuple[np.ndarray, np.ndarray]],
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ):
         """Eigensolve the compacted geometry; warm on-device when the
         stored basis covers it, host ARPACK otherwise.  Returns
-        (vals (k,), U (3*vpad, k)) like the host path."""
+        (vals (k,) numpy, U (3*vpad, k) DEVICE array) — U feeds the
+        jitted loss program without leaving the device."""
         vpad = len(comp["keep_idx"])
         need_cold = self.U_global is None
         if not need_cold and self.reanchor_every:
             need_cold = self.warm_count >= self.reanchor_every
-        overlap = 0.0
         if not need_cold:
-            x0, overlap = self.gather(comp)
-            need_cold = overlap < self.min_overlap
+            need_cold = self.overlap(comp) < self.min_overlap
         if need_cold:
             vals, U = host_solve()
-            self.store(comp, U)
+            self.store_host(comp, U)
             self.warm_count = 0
             self.total_cold += 1
             self.last_mode = "cold"
@@ -184,7 +204,7 @@ class WarmShapeEigensolver:
         gidx = assembly.build_gather_transpose(
             comp["tets"][: comp["num_tets"]], vpad
         )
-        D = -(-gidx.shape[1] // 8) * 8
+        D = -(-gidx.shape[1] // 16) * 16
         gidx = np.pad(
             gidx, ((0, 0), (0, D - gidx.shape[1])),
             constant_values=4 * comp["num_tets"],
@@ -195,33 +215,32 @@ class WarmShapeEigensolver:
         tpad = comp["tets"].shape[0]
         gidx = np.where(gidx == 4 * comp["num_tets"], 4 * tpad, gidx)
         fn = self._solve_fn(vpad, tpad, D)
-        vals, U, iters, resid = fn(
+        vals, U, self.U_global, iters, resid = fn(
+            self.U_global,
+            jnp.asarray(np.asarray(comp["keep_idx"])),
+            jnp.asarray(self._keep_store(comp)),
             jnp.asarray(verts_c, self.dtype),
             jnp.asarray(comp["tets"]),
             jnp.asarray(comp["tet_mask"], self.dtype),
             jnp.asarray(gidx),
             jnp.asarray(dof_mask, self.dtype),
-            jnp.asarray(x0, self.dtype),
             jnp.asarray(mu, self.dtype),
             jnp.asarray(lam, self.dtype),
         )
-        if not np.isfinite(np.asarray(resid)).all() or float(
-            np.max(np.asarray(resid))
-        ) > 30.0 * self.tol:
+        resid = np.asarray(resid)
+        if not np.isfinite(resid).all() or float(resid.max()) > 30.0 * self.tol:
             # geometry jumped too far for the budgeted warm refresh —
             # self-correct with a host re-anchor instead of drifting
             vals, U = host_solve()
-            self.store(comp, U)
+            self.store_host(comp, U)
             self.warm_count = 0
             self.total_cold += 1
             self.last_mode = "cold-escalated"
             self.last_iterations = int(iters)
             return vals, U
-        vals = np.asarray(vals, np.float64)
-        U = np.asarray(U, np.float64)
-        self.store(comp, U)
+        self.seen[np.asarray(comp["keep_idx"])[: comp["num_verts"]]] = True
         self.warm_count += 1
         self.total_warm += 1
         self.last_mode = "warm"
         self.last_iterations = int(iters)
-        return vals, U
+        return np.asarray(vals, np.float64), U

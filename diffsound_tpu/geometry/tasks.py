@@ -239,18 +239,31 @@ class ThicknessTask(ShapeTaskBase):
     def optimize(self, target, iters: int = 500, lr: float = 2e-2, verbose=True,
                  callback=None):
         """Adam loop (thickness_train.py:42-90)."""
+        import time as _time
+
         params = self.bins.init_params(jax.random.PRNGKey(0))
         opt = optax.adam(lr)
         opt_state = opt.init(params)
         history = []
         for it in range(iters):
+            t0 = _time.perf_counter()
             loss, g = self.step_loss_grad(params, target)
             updates, opt_state = opt.update(g, opt_state)
             params = optax.apply_updates(params, updates)
             coef = float(self.bins.value(params))
-            history.append({"iter": it, "loss": float(loss), "coef": coef})
+            dt = _time.perf_counter() - t0
+            rec = {"iter": it, "loss": float(loss), "coef": coef, "dt": dt}
+            if self.warm is not None:
+                rec["eig_mode"] = self.warm.last_mode
+                rec["eig_iters"] = self.warm.last_iterations
+            history.append(rec)
             if verbose and it % 10 == 0:
-                print(f"iter {it}: loss {float(loss):.6f} coef {coef:.4f}")
+                extra = (
+                    f" [{rec.get('eig_mode', '-')}/{rec.get('eig_iters', 0)} "
+                    f"{dt:.1f}s]"
+                )
+                print(f"iter {it}: loss {float(loss):.6f} coef {coef:.4f}{extra}",
+                      flush=True)
             if callback:
                 callback(it, float(loss), coef)
         return params, history

@@ -27,6 +27,13 @@ the host round trip of the basis from the steady state:
     jump, a diverged-residual escalation, or an explicit re-anchor
     cadence) fall back to host ARPACK and push the basis once.
 
+Budget calibration (grid-64 thickness, 67k DOF, 38 modes, measured on
+the tunneled v5e): one device LOBPCG iteration ~170 ms in recompute
+mode; a host ARPACK escalation 70-120 s.  Small optimizer steps warm in
+10-25 iterations; remesh jumps need ~100+ — so the iteration cap is set
+high (240 ~ 40 s worst case, converged early exit typical) and the
+residual escalation only fires for genuinely diverged bases.
+
 Eigenvalue accuracy: the Rayleigh correction downstream is first-order
 exact in the material/geometry params and O(residual^2) in the basis
 error, so the warm tolerance only needs to sit at the f32 matvec noise
@@ -51,10 +58,12 @@ class WarmShapeEigensolver:
         num_global_slots: int,
         k: int,
         dtype=jnp.float32,
-        max_iters: int = 80,
+        max_iters: int = 240,
         tol: Optional[float] = None,
         reanchor_every: int = 0,
         min_overlap: float = 0.6,
+        reuse_products: bool = False,
+        guards: int = 8,
     ):
         """num_global_slots: V + Eg of the background grid (rows of
         MarchingOutput.all_verts).  k: modes incl. the rigid block.
@@ -63,19 +72,40 @@ class WarmShapeEigensolver:
         vertices already present in the stored basis."""
         self.num_global_slots = num_global_slots
         self.k = k
+        # guard columns absorb the slowly-separating directions just above
+        # the wanted block (remesh perturbations overlap them strongly);
+        # they ride along in the stored basis and never gate convergence
+        self.guards = guards
+        self.kg = k + guards
         self.dtype = dtype
         self.max_iters = max_iters
         if tol is None:
-            # f32: the matvec noise floor; f64: comfortably converged
-            # (tighter f64 tols burn the whole iteration budget chasing
-            # the last digits; Ritz error is O(resid^2) anyway)
-            tol = 1e-3 if dtype == jnp.float32 else 1e-5
+            # Ritz-value error is O(residual^2): a 1e-2 residual basis
+            # measures 1.5e-4 relative eigenvalue error on the grid-64
+            # shell (vs fresh ARPACK) — far below what the eigenvalue
+            # losses resolve.  Chasing 1e-3 instead stalls the f32 solver
+            # ~1e-2 on remesh-perturbed thin-shell bases and burns the
+            # whole iteration budget for nothing (measured: 240 iters /
+            # 40 s per optimizer step at tol 1e-3 vs early exit at 1e-2).
+            # f64 (CPU tests): comfortably converged.
+            tol = 1e-2 if dtype == jnp.float32 else 1e-5
         self.tol = tol
         self.reanchor_every = reanchor_every
         self.min_overlap = min_overlap
+        # reuse_products caps the attainable residual after ~50+ carried
+        # rotations (the products drift — see solvers/lobpcg.py); shape
+        # remeshes need longer refreshes than material nudges, so default
+        # to the recompute body here (2.5x per-iteration cost, converges)
+        self.reuse_products = reuse_products
 
         self.U_global = None  # device (slots + 1, 3, k); row slots = dump
         self.seen = np.zeros(num_global_slots, bool)
+        # host copy of each seen slot's last position: nearest-neighbor
+        # source for filling brand-new slots (newly crossing edges) whose
+        # zero basis rows otherwise stall the refresh for 100s of
+        # iterations (the displacement field is smooth, so the nearest
+        # seen slot's row is an excellent local init)
+        self.slot_pos = np.full((num_global_slots, 3), np.nan, np.float64)
         self.warm_count = 0  # consecutive warm solves since last anchor
         self.total_warm = 0
         self.total_cold = 0
@@ -83,13 +113,14 @@ class WarmShapeEigensolver:
         self.last_mode = "none"
         self._solve_cache = {}
         self._store_fn = None
+        self._copy_fn = None
 
     # -- host <-> device basis management -----------------------------------
 
     def _ensure_storage(self):
         if self.U_global is None:
             self.U_global = jnp.zeros(
-                (self.num_global_slots + 1, 3, self.k), jnp.float32
+                (self.num_global_slots + 1, 3, self.kg), jnp.float32
             )
 
     def _keep_store(self, comp) -> np.ndarray:
@@ -109,13 +140,51 @@ class WarmShapeEigensolver:
                 donate_argnums=donate,
             )
         vpad = len(comp["keep_idx"])
-        U3 = jnp.asarray(
-            np.asarray(U, np.float32).reshape(vpad, 3, self.k)
-        )
+        U = np.asarray(U, np.float32)
+        if U.shape[1] < self.kg:  # host bases are k wide; zero-pad guards
+            U = np.concatenate(
+                [U, np.zeros((U.shape[0], self.kg - U.shape[1]), np.float32)],
+                axis=1,
+            )
+        U3 = jnp.asarray(U.reshape(vpad, 3, self.kg))
         self.U_global = self._store_fn(
             self.U_global, jnp.asarray(self._keep_store(comp)), U3
         )
-        self.seen[np.asarray(comp["keep_idx"])[: comp["num_verts"]]] = True
+        keep_nv = np.asarray(comp["keep_idx"])[: comp["num_verts"]]
+        self.seen[keep_nv] = True
+
+    def mark_positions(self, out, comp):
+        """Record the current positions of this mesh's slots (nearest-
+        neighbor source data for `_fill_new_slots`)."""
+        keep_nv = np.asarray(comp["keep_idx"])[: comp["num_verts"]]
+        self.slot_pos[keep_nv] = np.asarray(out.all_verts)[keep_nv]
+
+    def _fill_new_slots(self, out, comp):
+        """Copy the nearest seen slot's basis row into each unseen slot of
+        the new mesh (device-side row copy driven by a host KD query)."""
+        nv = comp["num_verts"]
+        keep = np.asarray(comp["keep_idx"])[:nv]
+        new_mask = ~self.seen[keep]
+        if not new_mask.any():
+            return
+        seen_ids = np.flatnonzero(self.seen)
+        if len(seen_ids) == 0:
+            return
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(self.slot_pos[seen_ids])
+        pos_new = np.asarray(out.all_verts)[keep[new_mask]]
+        _, nn = tree.query(pos_new, k=1)
+        src = seen_ids[nn]
+        dst = keep[new_mask]
+        if self._copy_fn is None:
+            self._copy_fn = jax.jit(
+                lambda Ug, d, s: Ug.at[d].set(Ug[s]),
+                donate_argnums=() if jax.default_backend() == "cpu" else (0,),
+            )
+        self.U_global = self._copy_fn(
+            self.U_global, jnp.asarray(dst), jnp.asarray(src)
+        )
 
     def overlap(self, comp) -> float:
         nv = comp["num_verts"]
@@ -130,8 +199,15 @@ class WarmShapeEigensolver:
 
             def core(U_global, keep_gather, keep_store, verts_c, tets_c,
                      tet_mask, gather_idx, dof_mask, mu, lam):
-                x0 = U_global[keep_gather].reshape(3 * vpad, self.k)
+                x0 = U_global[keep_gather].reshape(3 * vpad, self.kg)
                 x0 = x0 * dof_mask[:, None]
+                # dead guard columns (zero after a host anchor) are
+                # replaced inside lobpcg's orthonormalization only if
+                # they stay dependent; seed them cheaply here
+                key = jax.random.PRNGKey(1)
+                noise = jax.random.normal(key, x0.shape, x0.dtype) * dof_mask[:, None]
+                norms = jnp.linalg.norm(x0, axis=0)
+                x0 = jnp.where(norms[None, :] > 0, x0, noise)
                 ops = assembly.build_element_ops(
                     verts_c, tets_c, 1, dtype=self.dtype, tet_mask=tet_mask
                 )
@@ -154,13 +230,20 @@ class WarmShapeEigensolver:
                     x0 / dsc[:, None],
                     max_iters=self.max_iters,
                     tol=self.tol,
-                    reuse_products=self.dtype == jnp.float32,
+                    reuse_products=self.reuse_products,
                     row_mask=dof_mask,
+                    num_wanted=self.k,
                 )
-                vecs = dsc[:, None] * res.eigenvectors
-                U3 = vecs.astype(jnp.float32).reshape(vpad, 3, self.k)
+                vecs = dsc[:, None] * res.eigenvectors  # (3vpad, kg)
+                U3 = vecs.astype(jnp.float32).reshape(vpad, 3, self.kg)
                 U_new = U_global.at[keep_store].set(U3)
-                return res.eigenvalues, vecs, U_new, res.iterations, res.residual_norms
+                return (
+                    res.eigenvalues[: self.k],
+                    vecs[:, : self.k],
+                    U_new,
+                    res.iterations,
+                    res.residual_norms[: self.k],
+                )
 
             donate = () if jax.default_backend() == "cpu" else (0,)
             self._solve_cache[key] = jax.jit(core, donate_argnums=donate)
@@ -189,12 +272,14 @@ class WarmShapeEigensolver:
         if need_cold:
             vals, U = host_solve()
             self.store_host(comp, U)
+            self.mark_positions(out, comp)
             self.warm_count = 0
             self.total_cold += 1
             self.last_mode = "cold"
             self.last_iterations = 0
             return vals, U
 
+        self._fill_new_slots(out, comp)
         verts_c = np.asarray(out.all_verts)[np.asarray(comp["keep_idx"])]
         dof_mask = np.zeros(3 * vpad, np.float32)
         dof_mask[: 3 * comp["num_verts"]] = 1.0
@@ -228,17 +313,37 @@ class WarmShapeEigensolver:
             jnp.asarray(lam, self.dtype),
         )
         resid = np.asarray(resid)
+        if np.isfinite(resid).all() and float(resid.max()) > 30.0 * self.tol:
+            # geometry jumped past the budget: continue the SAME device
+            # solve from its own output (a second device round costs
+            # max_iters * ~0.2 s, a host ARPACK re-anchor 70-120 s)
+            vals, U, self.U_global, iters2, resid = fn(
+                self.U_global,
+                jnp.asarray(np.asarray(comp["keep_idx"])),
+                jnp.asarray(self._keep_store(comp)),
+                jnp.asarray(verts_c, self.dtype),
+                jnp.asarray(comp["tets"]),
+                jnp.asarray(comp["tet_mask"], self.dtype),
+                jnp.asarray(gidx),
+                jnp.asarray(dof_mask, self.dtype),
+                jnp.asarray(mu, self.dtype),
+                jnp.asarray(lam, self.dtype),
+            )
+            iters = iters + iters2
+            resid = np.asarray(resid)
         if not np.isfinite(resid).all() or float(resid.max()) > 30.0 * self.tol:
-            # geometry jumped too far for the budgeted warm refresh —
-            # self-correct with a host re-anchor instead of drifting
+            # genuinely diverged — host re-anchor
             vals, U = host_solve()
             self.store_host(comp, U)
+            self.mark_positions(out, comp)
             self.warm_count = 0
             self.total_cold += 1
             self.last_mode = "cold-escalated"
             self.last_iterations = int(iters)
             return vals, U
-        self.seen[np.asarray(comp["keep_idx"])[: comp["num_verts"]]] = True
+        keep_nv = np.asarray(comp["keep_idx"])[: comp["num_verts"]]
+        self.seen[keep_nv] = True
+        self.slot_pos[keep_nv] = verts_c[: comp["num_verts"]]
         self.warm_count += 1
         self.total_warm += 1
         self.last_mode = "warm"

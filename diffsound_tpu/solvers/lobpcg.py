@@ -186,6 +186,7 @@ def lobpcg(
     record_history: bool = False,
     profiler: Optional[str] = None,
     row_mask: Optional[jax.Array] = None,
+    num_wanted: Optional[int] = None,
 ) -> LobpcgResult:
     """Compute the m smallest eigenpairs of A x = lambda B x.
 
@@ -217,6 +218,10 @@ def lobpcg(
         internal random-vector sources (P seed + dead-residual refresh)
         keeps every basis vector exactly zero on pad rows, so the padded
         pencil needs no spurious-eigenvalue shifting at all.
+    num_wanted: converge on the first `num_wanted` columns only; the
+        remaining columns are GUARD vectors that absorb the slowly
+        separating directions just above the wanted block (their
+        residuals never gate the early exit).  Default: all m columns.
     """
     n, m = x0.shape
     dtype = x0.dtype
@@ -255,7 +260,7 @@ def lobpcg(
             # per-iteration convergence trace (the in-solver profiler hook
             # of the reference, _lobpcg.py:357-369, reduced to what is
             # observable from inside a lax.while_loop)
-            hist = hist.at[it].set(jnp.max(rel))
+            hist = hist.at[it].set(jnp.max(rel[:nw]))
 
         W = precond_fn(R)
         if reuse_products:
@@ -317,9 +322,11 @@ def lobpcg(
             AXn, BXn, APn, BPn = AX, BX, AP, BP
         return Xn, AXn, BXn, Pn, APn, BPn, ritz[:m], rel, it + 1, hist
 
+    nw = m if num_wanted is None else int(num_wanted)
+
     def cond(state):
         rel, it = state[-3], state[-2]
-        return jnp.logical_and(it < max_iters, jnp.max(rel) > tol)
+        return jnp.logical_and(it < max_iters, jnp.max(rel[:nw]) > tol)
 
     # Initialize: B-orthonormalize X0 and take its Ritz approximation.
     BX0 = b_fn(x0)

@@ -8,7 +8,21 @@ import argparse
 import json
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: remote TPU compiles run minutes
+    cold; relaunches and resumed runs should never pay twice for the
+    same program."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_diffsound")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def parse_flags(description: str = "diffsound-tpu", defaults: dict = None, argv=None):
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--config", type=str, default=None, help="Config file")
     parser.add_argument("-i", "--iter", type=int, default=5000)

@@ -88,7 +88,7 @@ class WarmShapeEigensolver:
             # whole iteration budget for nothing (measured: 240 iters /
             # 40 s per optimizer step at tol 1e-3 vs early exit at 1e-2).
             # f64 (CPU tests): comfortably converged.
-            tol = 1e-2 if dtype == jnp.float32 else 1e-5
+            tol = 3e-3 if dtype == jnp.float32 else 1e-5
         self.tol = tol
         self.reanchor_every = reanchor_every
         self.min_overlap = min_overlap
@@ -313,7 +313,12 @@ class WarmShapeEigensolver:
             jnp.asarray(lam, self.dtype),
         )
         resid = np.asarray(resid)
-        if np.isfinite(resid).all() and float(resid.max()) > 30.0 * self.tol:
+        # fixed escalation bound: at residual ~3e-2 the Ritz values are
+        # still ~1e-3-accurate; beyond it they corrupt the loss landscape
+        # (observed as a divergent thickness trajectory when the bound
+        # scaled with a relaxed tol)
+        esc = max(3e-2, 3.0 * self.tol)
+        if np.isfinite(resid).all() and float(resid.max()) > esc:
             # geometry jumped past the budget: continue the SAME device
             # solve from its own output (a second device round costs
             # max_iters * ~0.2 s, a host ARPACK re-anchor 70-120 s)
@@ -331,7 +336,7 @@ class WarmShapeEigensolver:
             )
             iters = iters + iters2
             resid = np.asarray(resid)
-        if not np.isfinite(resid).all() or float(resid.max()) > 30.0 * self.tol:
+        if not np.isfinite(resid).all() or float(resid.max()) > esc:
             # genuinely diverged — host re-anchor
             vals, U = host_solve()
             self.store_host(comp, U)

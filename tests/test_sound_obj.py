@@ -148,3 +148,26 @@ class TestModalCache:
             np.testing.assert_allclose(
                 np.asarray(g_cached[k]), np.asarray(g_direct[k]), rtol=1e-8
             )
+
+
+def test_order3_end_to_end_frequencies():
+    """DiffSoundObject at order 3 (tetra20 promotion + order-general
+    assembly + ARPACK): frequencies converge from the order-2 values
+    (richer space => slightly lower) and stay in family."""
+    import jax.numpy as jnp
+
+    from diffsound_tpu.fem.mesh import cube_tet_mesh
+    from diffsound_tpu.models.sound_obj import build_model
+
+    mesh = cube_tet_mesh(2, size=0.5)
+    freqs = {}
+    for order in (2, 3):
+        model = build_model(
+            mesh=mesh, mode_num=6, order=order,
+            mat=(2700, 7.2e10, 0.19, 6, 1e-7), task="gt", dtype=jnp.float64,
+        )
+        eig = model.eigen_decomposition(method="arpack", sigma=1e5)
+        freqs[order] = np.asarray(model.get_undamped_freqs({}, eig))
+    rel = np.abs(freqs[3] - freqs[2]) / freqs[2]
+    assert rel.max() < 0.06, rel
+    assert np.all(freqs[3] <= freqs[2] * 1.001)

@@ -467,3 +467,32 @@ class TestStressPath:
         # the 9x9 elasticity jacobian at F=0 exists and is finite
         C = nn.jacobian_F(params)
         assert C.shape == (9, 9) and bool(jnp.all(jnp.isfinite(C)))
+
+
+class TestTransforms:
+    def test_round_trip_and_barycentric(self):
+        """World <-> reference maps invert each other and recover exact
+        barycentric coordinates at the corners
+        (parity: /root/reference/src/diffelastic/transform.py:2-27)."""
+        from diffsound_tpu.fem.transform import (
+            barycentric_coordinates,
+            compute_inv_transform_coord,
+            compute_transform_coord,
+        )
+
+        rng = np.random.default_rng(0)
+        mesh = cube_tet_mesh(2, size=1.0)
+        c = mesh.corner_tets()
+        A = jnp.asarray(mesh.transform_matrices())
+        b = jnp.asarray(mesh.vertices[c[:, 3]])
+        # random reference points inside each tet
+        r = rng.dirichlet([1, 1, 1, 1], size=len(c))[:, :3]
+        p = compute_inv_transform_coord(jnp.asarray(r), A, b)
+        back = compute_transform_coord(p, A, b)
+        np.testing.assert_allclose(np.asarray(back), r, atol=1e-12)
+        # corner v1 has barycentric (1, 0, 0, 0)
+        p1 = jnp.asarray(mesh.vertices[c[:, 0]])
+        bc = barycentric_coordinates(p1, A, b)
+        np.testing.assert_allclose(
+            np.asarray(bc), np.tile([1.0, 0, 0, 0], (len(c), 1)), atol=1e-12
+        )

@@ -19,6 +19,7 @@ speedup.
 import functools
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -28,6 +29,84 @@ import numpy as np
 def _log(msg):
     if os.environ.get("BENCH_VERBOSE"):
         print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+# --- outage-proof driver entry ------------------------------------------
+# Round 2's capture window hit a relay outage: jax backend init hung or
+# raised "Unable to initialize backend 'axon': UNAVAILABLE", and the driver
+# recorded a raw traceback instead of a JSON line.  The top-level entry now
+# (1) probes backend health in a bounded-time subprocess, retrying a few
+# times, and (2) runs the measurement itself in a subprocess with a hard
+# timeout so a mid-run hang still yields ONE parseable JSON line (with an
+# "error" field on persistent failure).
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((128, 128), jnp.float32);"
+    "(x @ x).block_until_ready();"
+    "print('PROBE_OK', jax.devices()[0].platform)"
+)
+
+
+def _probe_backend(timeout=300):
+    """True iff a fresh process can init the backend and run a matmul."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return "PROBE_OK" in r.stdout, (r.stdout + r.stderr).strip()[-400:]
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout}s (backend init hang)"
+
+
+def _error_line(msg):
+    print(json.dumps({
+        "metric": "material_sync_ord2_train_iters_per_sec",
+        "value": None,
+        "unit": "iters/sec",
+        "vs_baseline": None,
+        "error": msg[:500],
+    }))
+
+
+def driver_main():
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    run_timeout = int(os.environ.get("BENCH_RUN_TIMEOUT", "2400"))
+    retries = int(os.environ.get("BENCH_RETRIES", "3"))
+
+    last_detail = ""
+    for attempt in range(retries):
+        ok, detail = _probe_backend(probe_timeout)
+        last_detail = detail
+        _log(f"probe attempt {attempt + 1}/{retries}: ok={ok}")
+        if ok:
+            break
+        time.sleep(min(60, 15 * (attempt + 1)))
+    else:
+        _error_line(f"backend unavailable after {retries} probes: {last_detail}")
+        return
+
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                capture_output=True, text=True, timeout=run_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            _error_line(f"bench run timed out after {run_timeout}s")
+            return
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(parsed, dict) and "metric" in parsed:
+                print(line)
+                return
+        _log(f"run attempt {attempt + 1} produced no JSON (rc={r.returncode})")
+        last_detail = (r.stderr or r.stdout).strip()[-400:]
+    _error_line(f"bench run failed: {last_detail}")
 
 
 def main():
@@ -171,4 +250,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        main()
+    else:
+        driver_main()

@@ -138,6 +138,8 @@ class JointImageAudioTask:
         light_res: int = 32,
         tets_dir: Optional[str] = None,
         dtype=jnp.float32,
+        img_loss: str = "mse",
+        tonemapper: str = None,
     ):
         kw = {} if tets_dir is None else {"tets_dir": tets_dir}
         verts, tets = load_background_grid(grid_res, **kw)
@@ -156,6 +158,11 @@ class JointImageAudioTask:
         self.texture = MLPTexture3D(aabb)
         self.light = EnvironmentLight(base_res=light_res)
         self.material = {"kd_ks_normal": self.texture, "bsdf": "pbr"}
+        # pluggable color-reconstruction loss (reference dmtet.py:491 passes
+        # a createLoss(FLAGS)-built loss_fn into tick; renderutils/loss.py)
+        from ..render.image_loss import make_image_loss
+
+        self.img_loss_fn = make_image_loss(img_loss, tonemapper)
         self._loss_cache = {}
         self._edges = jnp.asarray(self.marching.unique_edges)
         # device-resident warm eigensolver across remeshes (geometry/
@@ -250,8 +257,11 @@ class JointImageAudioTask:
         pred_a = alpha
         ref_rgb = target_img[..., :3] * target_img[..., 3:]
         ref_a = target_img[..., 3:]
-        img_loss = jnp.mean((pred_a - ref_a) ** 2) + jnp.mean(
-            (pred_rgb - ref_rgb * 1.0) ** 2
+        # alpha channel always MSE; color channel through the pluggable
+        # family (mse/l1/smape/relmse x optional log_srgb), parity with
+        # reference dmtet.py:490-491
+        img_loss = jnp.mean((pred_a - ref_a) ** 2) + self.img_loss_fn(
+            pred_rgb, ref_rgb
         )
 
         # ---- regularizers (dmtet.py:491-504)

@@ -454,3 +454,46 @@ class TestObjIO:
         np.testing.assert_allclose(np.asarray(m2.v_pos), verts, atol=1e-5)
         np.testing.assert_allclose(np.asarray(m2.t_pos_idx), tris)
         assert m2.v_tex is not None and m2.v_nrm is not None
+
+
+REF_LOSS = "/root/reference/src/dmtet/render/renderutils/loss.py"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_LOSS), reason="reference absent")
+class TestImageLossParityVsReference:
+    """Every (loss, tonemapper) combination of the HDR image-loss family
+    matches the reference's pure-torch implementation (its use_python
+    path) in value and input gradient on random HDR images."""
+
+    def setup_method(self, _):
+        spec = importlib.util.spec_from_file_location("ref_loss", REF_LOSS)
+        self.ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(self.ref)
+        rng = np.random.default_rng(11)
+        # HDR-ish range incl. exact zeros and values > 1
+        self.img = (rng.random((2, 16, 16, 3)) * 4.0).astype(np.float32)
+        self.tgt = (rng.random((2, 16, 16, 3)) * 4.0).astype(np.float32)
+        self.img[0, 0, 0] = 0.0
+
+    @pytest.mark.parametrize("loss", ["mse", "smape", "relmse", "logl1"])
+    @pytest.mark.parametrize("tonemapper", ["none", "log_srgb"])
+    def test_value_and_grad_parity(self, loss, tonemapper):
+        import torch
+
+        from diffsound_tpu.render.image_loss import image_loss_fn
+
+        ti = torch.tensor(self.img, requires_grad=True)
+        tt = torch.tensor(self.tgt)
+        ref_val = self.ref.image_loss_fn(ti, tt, loss, tonemapper)
+        ref_val.backward()
+
+        f = lambda a: image_loss_fn(
+            a, jnp.asarray(self.tgt), loss,
+            None if tonemapper == "none" else tonemapper,
+        )
+        val, grad = jax.value_and_grad(f)(jnp.asarray(self.img))
+
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(grad), ti.grad.numpy(), rtol=1e-4, atol=1e-7
+        )

@@ -13,6 +13,28 @@ from tests.test_geometry import icosphere
 MAT = (2700, 2.0e11, 0.29, 20, 3e-8)  # Steel (parity with thickness config)
 
 
+def test_thickness_recovery_fast():
+    """Reduced-scale tier of test_thickness_recovery: a handful of
+    iterations must move the coefficient toward the target and cut the
+    loss; full recovery is the slow-marked test below."""
+    verts, faces = icosphere(2, radius=0.42)
+    task = ThicknessTask(
+        grid_res=12, scale=1.0, mat=MAT, mode_num=8, tets_dir="/nonexistent"
+    )
+    task.apply_sdf(verts, faces)
+    target_coef = 0.6
+    target = task.eigenvalues(target_coef)
+    assert np.all(target > 0)
+    params, history = task.optimize(
+        jnp.asarray(target), iters=8, lr=5e-2, verbose=False
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert abs(history[-1]["coef"] - target_coef) < abs(
+        history[0]["coef"] - target_coef
+    )
+
+
+@pytest.mark.slow
 def test_thickness_recovery():
     verts, faces = icosphere(2, radius=0.42)
     task = ThicknessTask(
@@ -33,6 +55,24 @@ def test_thickness_recovery():
     assert abs(final - target_coef) < abs(init - target_coef)
 
 
+def test_morphing_recovery_fast():
+    """Reduced-scale tier of test_morphing_recovery."""
+    v1, f1 = icosphere(2, radius=0.45)
+    v2, f2 = icosphere(2, radius=0.30)
+    task = MorphingTask(
+        grid_res=12, scale=1.0, mat=MAT, mode_num=6, tets_dir="/nonexistent"
+    )
+    task.apply_sdf2(v1, f1, v2, f2)
+    target_coef = 0.7
+    target = task.eigenvalues(target_coef)
+    params, history = task.optimize(
+        jnp.asarray(target), iters=8, lr=1e-1, verbose=False, init_coef=0.4
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert abs(history[-1]["coef"] - target_coef) < abs(0.4 - target_coef)
+
+
+@pytest.mark.slow
 def test_morphing_recovery():
     v1, f1 = icosphere(2, radius=0.45)
     v2, f2 = icosphere(2, radius=0.30)
@@ -86,6 +126,7 @@ def test_warm_eigensolver_matches_host():
         assert np.all(np.isfinite(U[:n]))
 
 
+@pytest.mark.slow
 def test_thickness_recovery_warm_path_speedup_semantics():
     """Full thickness loop on the warm path recovers the coefficient and
     runs warm on (nearly) every iteration after the first."""

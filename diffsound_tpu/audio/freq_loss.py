@@ -1,0 +1,140 @@
+"""Spectral-peak frequency-matching loss: a ripple-free early phase for
+material inference.
+
+Motivation (round-3 diagnosis, out/diag_r3): the reference's early-phase
+Sinkhorn + late-phase L1 recipe (/root/reference/src/ddsp/mss_loss.py)
+operates on STFT magnitudes, whose value is smooth in the *envelope* but
+carries a fine-scale ripple in mode frequency (spectral-leakage phase
+alignment).  At the round-2 stall point of the flagship's high-E pairs the
+measured directional derivative along +E was ~20x the envelope slope and
+sign-flipping on a <0.2% scale in E, so Adam froze ~30% below the target —
+while the envelope landscape (out/diag_r3/loss_sweep2d.py) is cleanly
+monotone toward the optimum.  Audio losses cannot avoid this: any
+phase-blind spectrogram distance inherits leakage ripple.
+
+This stage works in FREQUENCY space instead: modal peaks are extracted
+once from the target audio on the host (the same "analyze the recording"
+move the reference's real-audio stage 1 makes when it fits
+GTDampedOscillator to recordings, material_real_train.py:113-151), and the
+loss is a smooth, symmetric soft-Chamfer distance in log-frequency between
+the predicted mode frequencies and the extracted peaks.  No STFT of the
+prediction, no phase, no ripple — and O(modes x peaks) cost, orders of
+magnitude cheaper than Sinkhorn over spectrogram columns.
+
+Aliasing is handled where the reference's recipe breaks: modes above
+Nyquist appear in sampled audio at the folded frequency |f - 2N round(f/2N)|,
+so predicted frequencies are folded before matching.  At the true material
+the folded predictions coincide with the extracted peaks exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def extract_spectral_peaks(
+    audio: np.ndarray,
+    sr: float,
+    n_fft: int = 4096,
+    top_k: int = 24,
+    floor_db: float = 80.0,
+    weight_power: float = 0.25,
+):
+    """Host-side modal-peak extraction from target audio.
+
+    audio (T,) or (A, T) -> (freqs (P,), weights (P,)), P <= top_k,
+    sorted by frequency.  Peaks are local maxima of the time-averaged
+    log-magnitude STFT, refined by parabolic interpolation; weights are
+    magnitudes compressed by weight_power then normalized — raw linear
+    magnitudes span ~3 decades between the long-ringing fundamental and
+    the heavily Rayleigh-damped top modes, which would reduce the match
+    loss to a fundamental-only pull.
+    """
+    x = np.asarray(audio, np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=0)
+    hop = n_fft // 4
+    win = np.hanning(n_fft)
+    n_frames = max(1, (len(x) - n_fft) // hop + 1)
+    acc = np.zeros(n_fft // 2 + 1)
+    for i in range(n_frames):
+        fr = x[i * hop : i * hop + n_fft]
+        if len(fr) < n_fft:
+            fr = np.pad(fr, (0, n_fft - len(fr)))
+        acc += np.abs(np.fft.rfft(fr * win))
+    mag = acc / n_frames
+    logm = 20.0 * np.log10(mag + 1e-12)
+    thresh = logm.max() - floor_db
+    # strict local maxima above the floor, skipping DC/Nyquist edges
+    cand = [
+        k
+        for k in range(2, len(mag) - 2)
+        if logm[k] > thresh and logm[k] >= logm[k - 1] and logm[k] > logm[k + 1]
+    ]
+    cand.sort(key=lambda k: -mag[k])
+    picked = []
+    min_sep = 2  # bins; modal peaks of a windowed decaying sinusoid
+    for k in cand:
+        if all(abs(k - p) > min_sep for p in picked):
+            picked.append(k)
+        if len(picked) >= top_k:
+            break
+    if not picked:
+        return np.zeros((0,)), np.zeros((0,))
+    freqs, weights = [], []
+    for k in sorted(picked):
+        # parabolic interpolation on the log magnitude
+        a, b, c = logm[k - 1], logm[k], logm[k + 1]
+        denom = a - 2 * b + c
+        delta = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+        delta = float(np.clip(delta, -0.5, 0.5))
+        freqs.append((k + delta) * sr / n_fft)
+        weights.append(mag[k])
+    freqs = np.asarray(freqs)
+    weights = np.asarray(weights) ** weight_power
+    return freqs, weights / weights.sum()
+
+
+def fold_nyquist(f, sr: float):
+    """Apparent frequency of a sampled sinusoid: |f - 2N round(f/2N)| with
+    N = sr/2.  Piecewise linear, derivative +-1 (round() has zero grad)."""
+    two_n = jnp.asarray(sr, f.dtype)
+    k = jax.lax.stop_gradient(jnp.round(f / two_n))
+    r = f - two_n * k
+    return jnp.sign(r) * r  # |r| with grad sign(r) (0 at r=0)
+
+
+def _softmin(d, tau):
+    """Smooth minimum over the last axis: -tau logsumexp(-d / tau)."""
+    return -tau * jax.scipy.special.logsumexp(-d / tau, axis=-1)
+
+
+def freq_chamfer_loss(
+    pred_freqs: jnp.ndarray,
+    peak_freqs: jnp.ndarray,
+    peak_weights: jnp.ndarray,
+    sr: float,
+    tau: float = 2e-3,
+    fold: bool = True,
+    f_floor: float = 20.0,
+):
+    """Symmetric soft-Chamfer distance in log-frequency.
+
+    pred_freqs (..., M) differentiable; peak_freqs/weights (P,) constants.
+    Term A pulls every extracted peak toward its (soft-)nearest predicted
+    mode, magnitude-weighted; term B pulls every predicted mode toward its
+    nearest peak.  tau is the squared-log-distance softmin temperature
+    (2e-3 ~ 4.5% frequency scale: wide enough to rank basins, narrow
+    enough to localize)."""
+    f = pred_freqs.reshape(-1)
+    if fold:
+        f = fold_nyquist(f, sr)
+    lf = jnp.log(jnp.maximum(f, f_floor))
+    lp = jnp.log(jnp.maximum(jnp.asarray(peak_freqs, lf.dtype), f_floor))
+    w = jnp.asarray(peak_weights, lf.dtype)
+    d = (lf[:, None] - lp[None, :]) ** 2  # (M, P)
+    loss_peaks = jnp.sum(w * _softmin(d.T, tau))  # peaks covered by modes
+    loss_modes = jnp.mean(_softmin(d, tau))  # modes anchored to peaks
+    return loss_peaks + loss_modes

@@ -124,7 +124,16 @@ class MaterialSyncTask:
         checkpoint_every: int = 1500,
         media_dir: str = None,
         media_every: int = 300,
+        early_loss_type: str = "freq_chamfer",
+        late_freq_weight: float = 300.0,
     ) -> dict:
+        """early_loss_type: 'freq_chamfer' (default; alias-aware spectral-
+        peak matching — ripple-free, see audio/freq_loss.py) or 'geomloss'
+        (the reference's Sinkhorn recipe, kept for behavioral parity).
+        late_freq_weight: weight of the freq-chamfer auxiliary kept in the
+        late L1 phase (freq_chamfer mode only; 0 disables) — it holds the
+        modes pinned where the L1 landscape's leakage ripple would
+        otherwise freeze Adam (round-2 high-E stall, out/diag_r3)."""
         model = build_model(
             mesh=self.mesh, mode_num=self.mode_num, order=self.mesh_order,
             mat=init_mat, task=self.task, dtype=self.dtype,
@@ -142,6 +151,12 @@ class MaterialSyncTask:
         rmse_loss = MSSLoss(
             [1024, 512, 256, 128, 64], self.sample_rate, loss_type="rmse_loss"
         )
+        peaks = wts = None
+        if early_loss_type == "freq_chamfer":
+            from ..audio.freq_loss import extract_spectral_peaks
+
+            pk, pw = extract_spectral_peaks(np.asarray(gt_audio), self.sample_rate)
+            peaks, wts = jnp.asarray(pk, self.dtype), jnp.asarray(pw, self.dtype)
 
         params = model.init_params(jax.random.PRNGKey(seed), pretrain=pretrain)
 
@@ -162,12 +177,31 @@ class MaterialSyncTask:
             sig, damped = osc(freqs, fz, dtype=self.dtype)
             return loss_fn(sig, gt, damped, 1.0)
 
+        def chamfer_of(params, cache):
+            from ..audio.freq_loss import freq_chamfer_loss
+
+            freqs = model.get_undamped_freqs_cached(params, cache)
+            return freq_chamfer_loss(freqs, peaks, wts, self.sample_rate)
+
+        def early_loss_fn(params, cache, gt, fz):
+            if early_loss_type == "freq_chamfer":
+                # pure frequency matching: no synthesis, no STFT — smooth
+                # and ~100x cheaper than the Sinkhorn recipe
+                return chamfer_of(params, cache)
+            return loss_with(early_loss, params, cache, gt, fz)
+
+        def late_loss_fn(params, cache, gt, fz):
+            l1 = loss_with(late_loss, params, cache, gt, fz)
+            if early_loss_type == "freq_chamfer" and late_freq_weight > 0:
+                return l1 + late_freq_weight * chamfer_of(params, cache)
+            return l1
+
         opt2 = make_opt(lr_late, 0.95)
 
-        def make_step(loss_obj, optimizer):
+        def make_step(loss_call, optimizer):
             def step(params, opt_state, cache, gt, fz):
                 loss, g = jax.value_and_grad(
-                    lambda p: loss_with(loss_obj, p, cache, gt, fz)
+                    lambda p: loss_call(p, cache, gt, fz)
                 )(params)
                 g = model.bins.mask_grads(g)
                 updates, opt_state = optimizer.update(g, opt_state)
@@ -190,8 +224,8 @@ class MaterialSyncTask:
 
             return jax.jit(scanned, static_argnums=5)
 
-        step_early = make_step(early_loss, opt)
-        step_late = make_step(late_loss, opt2)
+        step_early = make_step(early_loss_fn, opt)
+        step_late = make_step(late_loss_fn, opt2)
 
         rmse_eval = jax.jit(
             lambda p, cache, gt, fz: loss_with(rmse_loss, p, cache, gt, fz)
@@ -436,6 +470,8 @@ def main(argv=None):
             checkpoint_dir=os.path.join(flags.out_dir, f"ckpt_pair{i}"),
             checkpoint_every=300,
             media_dir=os.path.join(flags.out_dir, f"media_pair{i}"),
+            early_loss_type=getattr(flags, "early_loss_type", "freq_chamfer"),
+            late_freq_weight=getattr(flags, "late_freq_weight", 300.0),
         )
         with open(results_path, "a") as f:
             f.write(

@@ -348,9 +348,15 @@ class JointImageAudioTask:
     def optimize(self, params, target_vals, targets, iters: int = 500,
                  lr_geo: float = 1e-3, lr_app: float = 1e-2,
                  audio_weight: float = 1.0, resolution=(128, 128),
-                 verbose: bool = True, seed: int = 0, log_every: int = 10):
+                 verbose: bool = True, seed: int = 0, log_every: int = 10,
+                 on_iter=None):
         """targets: list of dicts {'img' (H, W, 4), 'mvp', 'campos'} cycled
-        per iteration (the reference streams a DatasetMesh the same way)."""
+        per iteration (the reference streams a DatasetMesh the same way).
+
+        on_iter(rec): called with each iteration's metric record as it is
+        produced, so a crash/kill mid-run cannot lose the whole history
+        (round-2 post-mortem: metrics written only after return came back
+        as 0-byte evidence files)."""
         label = {"geo": "geo", "tex": "app", "light": "app"}
         opt = optax.multi_transform(
             {
@@ -379,6 +385,8 @@ class JointImageAudioTask:
             rec = {"iter": it, "loss": float(loss), "img": float(il),
                    "reg": float(rl), "audio": float(al)}
             history.append(rec)
+            if on_iter is not None:
+                on_iter(rec)
             if float(loss) < best["loss"]:
                 vc = np.asarray(out.all_verts)[comp["keep_idx"]][: comp["num_verts"]]
                 best = {"loss": float(loss), "verts": vc,

@@ -62,7 +62,7 @@ class WarmShapeEigensolver:
         tol: Optional[float] = None,
         reanchor_every: int = 0,
         min_overlap: float = 0.6,
-        reuse_products: bool = False,
+        reuse_products="auto",
         guards: int = 8,
     ):
         """num_global_slots: V + Eg of the background grid (rows of
@@ -93,9 +93,12 @@ class WarmShapeEigensolver:
         self.reanchor_every = reanchor_every
         self.min_overlap = min_overlap
         # reuse_products caps the attainable residual after ~50+ carried
-        # rotations (the products drift — see solvers/lobpcg.py); shape
-        # remeshes need longer refreshes than material nudges, so default
-        # to the recompute body here (2.5x per-iteration cost, converges)
+        # rotations (the products drift — see solvers/lobpcg.py).  "auto"
+        # (default) runs the FIRST round with carried products (the steady
+        # state converges in 10-25 iterations, well inside the drift
+        # budget, at ~2.5x lower matvec cost: 2m vs 6m operator columns
+        # per iteration) and lets the existing residual-escalation rounds
+        # use the robust recompute body for remesh jumps.
         self.reuse_products = reuse_products
 
         self.U_global = None  # device (slots + 1, 3, k); row slots = dump
@@ -193,8 +196,8 @@ class WarmShapeEigensolver:
 
     # -- the fused jitted gather + solve + scatter-back ---------------------
 
-    def _solve_fn(self, vpad: int, tpad: int, D: int):
-        key = (vpad, tpad, D)
+    def _solve_fn(self, vpad: int, tpad: int, D: int, reuse: bool):
+        key = (vpad, tpad, D, reuse)
         if key not in self._solve_cache:
 
             def core(U_global, keep_gather, keep_store, verts_c, tets_c,
@@ -230,7 +233,7 @@ class WarmShapeEigensolver:
                     x0 / dsc[:, None],
                     max_iters=self.max_iters,
                     tol=self.tol,
-                    reuse_products=self.reuse_products,
+                    reuse_products=reuse,
                     row_mask=dof_mask,
                     num_wanted=self.k,
                 )
@@ -299,7 +302,8 @@ class WarmShapeEigensolver:
         # padded ye has 4 * tpad rows — remap the dummy to that
         tpad = comp["tets"].shape[0]
         gidx = np.where(gidx == 4 * comp["num_tets"], 4 * tpad, gidx)
-        fn = self._solve_fn(vpad, tpad, D)
+        reuse1 = self.reuse_products is True or self.reuse_products == "auto"
+        fn = self._solve_fn(vpad, tpad, D, reuse1)
         vals, U, self.U_global, iters, resid = fn(
             self.U_global,
             jnp.asarray(np.asarray(comp["keep_idx"])),
@@ -320,8 +324,11 @@ class WarmShapeEigensolver:
         esc = max(3e-2, 3.0 * self.tol)
         if np.isfinite(resid).all() and float(resid.max()) > esc:
             # geometry jumped past the budget: continue the SAME device
-            # solve from its own output (a second device round costs
-            # max_iters * ~0.2 s, a host ARPACK re-anchor 70-120 s)
+            # solve from its own output with the robust RECOMPUTE body
+            # (a second device round costs max_iters * ~0.2 s, a host
+            # ARPACK re-anchor 70-120 s); carried products can't converge
+            # long remesh refreshes (rotation drift), recompute can
+            fn = self._solve_fn(vpad, tpad, D, False)
             vals, U, self.U_global, iters2, resid = fn(
                 self.U_global,
                 jnp.asarray(np.asarray(comp["keep_idx"])),

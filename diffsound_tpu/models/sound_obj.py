@@ -234,6 +234,27 @@ class DiffSoundObject:
             x0 = jax.random.normal(key, (self.num_dof, k), self.dtype)
         return self._lobpcg_solve(mu, lam, x0)
 
+    def eigen_decomposition_at_lame(
+        self, mu: float, lam: float, prev: Optional[EigenState] = None,
+        sigma: float = 20000.0,
+    ) -> EigenState:
+        """eigen_decomposition at EXPLICIT density-normalized Lame values
+        (the modal-Newton fit iterates over materials without bin params;
+        models/modal_fit.py).  Warm LOBPCG when prev is given, host ARPACK
+        cold."""
+        k = self.mode_num + self.extra_modes
+        if prev is not None:
+            return self._lobpcg_solve(
+                jnp.asarray(mu, self.dtype), jnp.asarray(lam, self.dtype),
+                prev.eigenvectors,
+            )
+        K, M = assembly.assemble_scipy(self.host_ops(), float(mu), float(lam), 1.0)
+        vals, vecs = eigsh_shift_invert(K, M, k=k, sigma=sigma)
+        return EigenState(
+            jnp.asarray(vals, self.dtype), jnp.asarray(vecs, self.dtype),
+            jnp.asarray(0), jnp.zeros((k,), self.dtype),
+        )
+
     # -- per-refresh quadratic-form cache ----------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -120,8 +120,15 @@ def _sweep(
         e0 = _edge(pb, pc, px, py) * s  # opposite vertex a
         e1 = _edge(pc, pa, px, py) * s
         e2 = _edge(pa, pb, px, py) * s
-        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
         abs_area = jnp.abs(area)[:, None, None]
+        # epsilon-inclusive edge test: two triangles sharing an edge
+        # evaluate its edge function with different operand orderings, so
+        # a sample exactly on the seam can round to slightly-outside for
+        # BOTH and the pixel drops out (a crack).  The slack is ~1e-6 of
+        # the triangle area = an O(1e-6 NDC) band, far below pixel size;
+        # double-claimed seam samples are resolved by the z-argmin.
+        eps = 1e-6 * jnp.maximum(abs_area, 1e-3)
+        cover = (e0 >= -eps) & (e1 >= -eps) & (e2 >= -eps)
         ok = (valid_w & cmask & (jnp.abs(area) > 1e-12))[:, None, None]
         cover = cover & ok
         a0 = e0 / jnp.where(abs_area < 1e-12, 1.0, abs_area)

@@ -151,11 +151,31 @@ def render_mesh(
     tri_mask=None,
     rng_key=None,
     soft_sigma: float = 1.0,
+    spp: int = 1,
 ):
     """Depth-peeled render composited over a background
     (render.py:187-255).  Returns {'shaded','kd_grad','occlusion'} as
-    (H, W, 4) buffers."""
+    (H, W, 4) buffers.
+
+    spp > 1 supersamples: rasterize + shade at (H*spp, W*spp) and box-
+    filter down (the reference's spp/msaa path, render.py:187-255 via
+    util.scale_img_nhwc) — edge coverage then carries sub-pixel geometry
+    gradients through the average, complementing the soft-coverage
+    channel."""
     H, W = resolution
+    if spp > 1:
+        hi = render_mesh(
+            mesh, mat_params, light, light_params, mvp, view_pos,
+            (H * spp, W * spp), num_layers=num_layers,
+            background=None if background is None
+            else jnp.repeat(jnp.repeat(background, spp, 0), spp, 1),
+            bsdf=bsdf, tri_mask=tri_mask, rng_key=rng_key,
+            soft_sigma=soft_sigma * spp, spp=1,
+        )
+        return {
+            k: v.reshape(H, spp, W, spp, v.shape[-1]).mean(axis=(1, 3))
+            for k, v in hi.items()
+        }
     v_clip = xfm_points(mesh.v_pos, jnp.asarray(mvp))
     view_pos = jnp.asarray(view_pos).reshape(1, 1, 3)
 

@@ -313,3 +313,80 @@ def test_synth_fused_vjp_matches_xla():
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(freqs, damps, amps)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestFreqChamfer:
+    """Spectral-peak extraction + alias-aware frequency-matching loss
+    (audio/freq_loss.py) — the round-3 ripple-free early phase."""
+
+    SR = 32000.0
+
+    def _audio_of(self, freqs, T=8000):
+        from diffsound_tpu.audio.oscillator import synth_constant_modes
+
+        f = jnp.asarray(freqs, jnp.float32)[None, :]
+        damps = jnp.full_like(f, 12.0)
+        amps = jnp.ones_like(f)
+        return synth_constant_modes(f, damps, amps, T, self.SR)
+
+    def test_peak_extraction_accuracy(self):
+        from diffsound_tpu.audio.freq_loss import extract_spectral_peaks
+
+        true = [440.0, 1318.0, 3702.5, 9203.0]
+        audio = np.asarray(self._audio_of(true))
+        pk, w = extract_spectral_peaks(audio, self.SR)
+        assert len(pk) >= len(true)
+        for f in true:
+            assert np.min(np.abs(pk - f)) < 4.0, (f, pk)
+        assert np.isclose(w.sum(), 1.0)
+
+    def test_fold_nyquist(self):
+        from diffsound_tpu.audio.freq_loss import fold_nyquist
+
+        f = jnp.asarray([1000.0, 15000.0, 17000.0, 31000.0, 33000.0])
+        out = np.asarray(fold_nyquist(f, self.SR))
+        np.testing.assert_allclose(out, [1000, 15000, 15000, 1000, 1000])
+        # derivative: +1 below Nyquist, -1 in the reflected band
+        g = jax.grad(lambda x: fold_nyquist(x, self.SR))
+        assert float(g(jnp.float32(15000.0))) == 1.0
+        assert float(g(jnp.float32(17000.0))) == -1.0
+
+    def test_chamfer_smooth_and_monotone(self):
+        """Scaling predicted freqs from 0.85x to 1.0x of the peaks must
+        decrease the loss at every 0.25% step — the property the
+        STFT-based L1 loss lacks (leakage ripple)."""
+        from diffsound_tpu.audio.freq_loss import (
+            extract_spectral_peaks, freq_chamfer_loss,
+        )
+
+        true = [800.0, 2100.0, 4900.0, 9100.0, 13200.0]
+        audio = np.asarray(self._audio_of(true))
+        pk, w = extract_spectral_peaks(audio, self.SR)
+        f0 = jnp.asarray(true, jnp.float32)
+        scales = np.arange(0.85, 1.0001, 0.0025)
+        vals = [
+            float(freq_chamfer_loss(f0 * s, jnp.asarray(pk), jnp.asarray(w), self.SR))
+            for s in scales
+        ]
+        diffs = np.diff(vals)
+        assert np.all(diffs < 0), vals
+
+    def test_alias_awareness(self):
+        """A ground truth with over-Nyquist modes: the loss at the TRUE
+        (over-Nyquist) frequencies must beat the loss at the reflected
+        sub-Nyquist stall point's neighborhood scale."""
+        from diffsound_tpu.audio.freq_loss import (
+            extract_spectral_peaks, freq_chamfer_loss,
+        )
+
+        true = [1800.0, 4500.0, 8000.0, 12100.0, 17500.0]  # last aliases to 14500
+        audio = np.asarray(self._audio_of([1800, 4500, 8000, 12100, 32000 - 17500]))
+        pk, w = extract_spectral_peaks(audio, self.SR)
+        loss_true = float(freq_chamfer_loss(
+            jnp.asarray(true, jnp.float32), jnp.asarray(pk), jnp.asarray(w), self.SR
+        ))
+        stall = jnp.asarray(true, jnp.float32) * 0.84  # all modes sub-Nyquist
+        loss_stall = float(freq_chamfer_loss(
+            stall, jnp.asarray(pk), jnp.asarray(w), self.SR
+        ))
+        assert loss_true < loss_stall

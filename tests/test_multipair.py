@@ -90,23 +90,23 @@ def test_sharded_step_trains():
 
 
 def test_parallel_convergence_direction_fast():
-    """Reduced-scale tier of test_parallel_converges_like_serial: 40
+    """Reduced-scale tier of test_parallel_converges_like_serial: 20
     epochs with the serial refresh cadence must move each pair's E
-    toward its own target (halve the initial relative error)."""
+    toward its own target (cut the initial relative error by >25%)."""
     model, trainer, p, o, ev, evec, gt = build_setup(dp=2, ep=4, refresh_iters=40)
     targets = np.array([6.8e10, 7.7e10])
     E0 = np.asarray(jax.vmap(model.bins.youngs)(p))
     params_b, opt_b, eigval_b, eigvec_b, gt_b = p, o, ev, evec, gt
-    for epoch in range(40):
+    for epoch in range(20):
         params_b, opt_b, loss_b, eigval_b, eigvec_b = trainer.step(
             params_b, opt_b, eigval_b, eigvec_b, gt_b,
-            refresh=(epoch % 15 == 0 and epoch > 0),
+            refresh=(epoch == 15),
             early=True,
         )
     E_b = np.asarray(jax.vmap(model.bins.youngs)(params_b))
     rel0 = np.abs(E0 - targets) / targets
     rel = np.abs(E_b - targets) / targets
-    assert np.all(rel < 0.5 * rel0), (E0, E_b, targets)
+    assert np.all(rel < 0.75 * rel0), (E0, E_b, targets)
 
 
 @pytest.mark.slow

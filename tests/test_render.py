@@ -396,6 +396,31 @@ class TestRenderPipeline:
         assert float(jnp.abs(g[1]["kd"]).max()) > 0  # material
         assert float(jnp.abs(g[2]["base"]).max()) > 0  # light
 
+
+    def test_render_spp_supersampling(self):
+        """spp=2 matches spp=1 in the interior and carries geometry
+        gradients; edge pixels are the ones allowed to differ (that is
+        the point of supersampling)."""
+        m, mp, light, lp, mvp = self._scene()
+        out1 = render_mesh(m, mp, light, lp, mvp, [0, 0, 2.5], (32, 32))
+        out2 = render_mesh(m, mp, light, lp, mvp, [0, 0, 2.5], (32, 32), spp=2)
+        a1 = np.asarray(out1["shaded"])
+        a2 = np.asarray(out2["shaded"])
+        assert a2.shape == (32, 32, 4)
+        assert np.all(np.isfinite(a2))
+        # interior block (fully covered at both rates) must agree closely
+        np.testing.assert_allclose(a1[12:20, 12:20], a2[12:20, 12:20],
+                                   atol=5e-3)
+
+        def loss(v_pos):
+            mm = m.with_(v_pos=v_pos)
+            out = render_mesh(mm, mp, light, lp, mvp, [0, 0, 2.5], (24, 24),
+                              spp=2)
+            return jnp.mean(out["shaded"] ** 2)
+
+        g = jax.grad(loss)(m.v_pos)
+        assert float(jnp.abs(g).max()) > 0
+
     def test_render_uv_bake(self):
         m, mp, light, lp, mvp = self._scene()
         mlp = MLPTexture3D(aabb=(np.full(3, -1.0), np.full(3, 1.0)))

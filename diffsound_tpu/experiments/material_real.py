@@ -105,8 +105,14 @@ def train_material_real(
     logger: MetricLogger = None,
     verbose: bool = True,
     seed: int = 0,
+    newton_init: bool = True,
 ):
-    """Stage 2 (material_real_train.py:154-243)."""
+    """Stage 2 (material_real_train.py:154-243).
+
+    newton_init: seed the bins with the closed-form modal-Newton fit
+    (models/modal_fit.py) on the recordings' spectral peaks, using the
+    stage-1 extracted damping curve to invert damped -> undamped
+    eigenvalues; the epoch loop then only polishes."""
     mesh_order = 2 if exp_mode in (1, 3) else 1
     task = "material" if exp_mode in (2, 3) else "mat_baseline"
     A, T = gt_audio.shape
@@ -125,6 +131,22 @@ def train_material_real(
     rmse_loss = MSSLoss([1024, 512, 256, 128, 64], sample_rate, loss_type="rmse_loss")
 
     params = model.init_params(jax.random.PRNGKey(seed), pretrain=True)
+    if newton_init:
+        from ..audio.freq_loss import extract_spectral_peaks
+        from ..fem.material import lame_params
+        from ..models.modal_fit import ModalNewtonFitter
+
+        m = Material.of(init_mat)
+        peaks, wts = extract_spectral_peaks(np.asarray(gt_audio), sample_rate)
+        fitter = ModalNewtonFitter(
+            model, peaks, wts, sample_rate, m.alpha, m.beta,
+            damping_curve=damping_curve,
+        )
+        mu0, lam0 = lame_params(m.youngs / m.density, m.poisson)
+        fit = fitter.fit(float(mu0), float(lam0), rounds=12, verbose=verbose)
+        if verbose:
+            print(f"  newton init: E {fit['E']:.4g} nu {fit['nu']:.4f}")
+        params = model.bins.fit_to(params, fit["E"], fit["nu"])
 
     def make_opt(lr, gamma):
         return optax.adam(

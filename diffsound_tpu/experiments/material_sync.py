@@ -126,6 +126,7 @@ class MaterialSyncTask:
         media_every: int = 300,
         early_loss_type: str = "freq_chamfer",
         late_freq_weight: float = 300.0,
+        init_values=None,
     ) -> dict:
         """early_loss_type: 'freq_chamfer' (default; alias-aware spectral-
         peak matching — ripple-free, see audio/freq_loss.py) or 'geomloss'
@@ -158,7 +159,12 @@ class MaterialSyncTask:
             pk, pw = extract_spectral_peaks(np.asarray(gt_audio), self.sample_rate)
             peaks, wts = jnp.asarray(pk, self.dtype), jnp.asarray(pw, self.dtype)
 
-        params = model.init_params(jax.random.PRNGKey(seed), pretrain=pretrain)
+        params = model.init_params(
+            jax.random.PRNGKey(seed), pretrain=pretrain and init_values is None
+        )
+        if init_values is not None:
+            # start from explicit (E, nu) — e.g. the modal-Newton answer
+            params = model.bins.fit_to(params, *init_values)
 
         def make_opt(lr, gamma):
             sched = optax.exponential_decay(
@@ -327,6 +333,72 @@ class MaterialSyncTask:
         }
 
 
+    def train_newton(
+        self,
+        init_mat,
+        gt_audio,
+        rounds: int = 20,
+        polish_epochs: int = 300,
+        logger: MetricLogger = None,
+        seed: int = 0,
+        verbose: bool = True,
+        **train_kw,
+    ) -> dict:
+        """Closed-form modal-Newton material fit (models/modal_fit.py)
+        followed by an optional short audio-loss polish.
+
+        Orders of magnitude faster than the epoch recipe (each Newton
+        round costs one warm eigensolve) and immune to the spectral-
+        leakage ripple that froze round 2's high-E pairs; see
+        out/diag_r3 and BENCH_NOTES."""
+        import time as _time
+
+        from ..audio.freq_loss import extract_spectral_peaks
+        from ..fem.material import lame_params
+        from ..models.modal_fit import ModalNewtonFitter
+
+        t0 = _time.perf_counter()
+        peaks, wts = extract_spectral_peaks(
+            np.asarray(gt_audio), self.sample_rate
+        )
+        model = build_model(
+            mesh=self.mesh, mode_num=self.mode_num, order=self.mesh_order,
+            mat=init_mat, task=self.task, dtype=self.dtype,
+        )
+        fitter = ModalNewtonFitter(
+            model, peaks, wts, self.sample_rate, init_mat[3], init_mat[4]
+        )
+        mu0, lam0 = lame_params(init_mat[1] / init_mat[0], init_mat[2])
+        fit = fitter.fit(float(mu0), float(lam0), rounds=rounds,
+                         verbose=verbose)
+        fit_wall = _time.perf_counter() - t0
+        if logger:
+            for rec in fit["history"]:
+                logger.scalars(
+                    {"newton_E": rec["E"], "newton_nu": rec["nu"]},
+                    rec["round"],
+                )
+        if polish_epochs <= 0:
+            return {
+                "youngs": fit["E"], "poisson": fit["nu"],
+                "rmse": float("nan"), "history": fit["history"],
+                "wall_s": fit_wall,
+                "iters_per_sec": len(fit["history"]) / fit_wall,
+                "fit_rounds": len(fit["history"]),
+            }
+        res = self.train(
+            init_mat, gt_audio, max_epoch=polish_epochs,
+            early_loss_epoch=0, logger=logger, seed=seed, verbose=verbose,
+            init_values=(fit["E"], fit["nu"]), pretrain=False,
+            **train_kw,
+        )
+        res["fit_rounds"] = len(fit["history"])
+        res["newton_E"], res["newton_nu"] = fit["E"], fit["nu"]
+        res["wall_s"] += fit_wall
+        res["iters_per_sec"] = polish_epochs / res["wall_s"]
+        return res
+
+
 def random_material_pairs(key, n: int = 16):
     """n random (init, target) materials within [RandomMin, RandomMax]
     (material_sync_train.py:72-89)."""
@@ -461,18 +533,34 @@ def main(argv=None):
         print(f"material pair {i}: target E={gt_mat[1]:.4g} nu={gt_mat[2]:.4f} "
               f"init E={init_mat[1]:.4g} nu={init_mat[2]:.4f}")
         gt_audio, gt_freqs = task.make_gt(gt_mat)
-        res = task.train(
-            init_mat, gt_audio,
-            max_epoch=flags.max_epoch,
-            early_loss_epoch=flags.early_loss_epoch,
-            logger=logger,
-            seed=i,
-            checkpoint_dir=os.path.join(flags.out_dir, f"ckpt_pair{i}"),
-            checkpoint_every=300,
-            media_dir=os.path.join(flags.out_dir, f"media_pair{i}"),
-            early_loss_type=getattr(flags, "early_loss_type", "freq_chamfer"),
-            late_freq_weight=getattr(flags, "late_freq_weight", 300.0),
-        )
+        recipe = getattr(flags, "recipe", "newton")
+        if recipe == "newton":
+            res = task.train_newton(
+                init_mat, gt_audio,
+                rounds=getattr(flags, "newton_rounds", 20),
+                polish_epochs=getattr(flags, "polish_epochs", 300),
+                logger=logger, seed=i,
+                media_dir=os.path.join(flags.out_dir, f"media_pair{i}"),
+            )
+        else:
+            res = task.train(
+                init_mat, gt_audio,
+                max_epoch=flags.max_epoch,
+                early_loss_epoch=flags.early_loss_epoch,
+                logger=logger,
+                seed=i,
+                checkpoint_dir=os.path.join(flags.out_dir, f"ckpt_pair{i}"),
+                checkpoint_every=300,
+                media_dir=os.path.join(flags.out_dir, f"media_pair{i}"),
+                early_loss_type=getattr(
+                    flags, "early_loss_type",
+                    "geomloss" if recipe == "reference" else "freq_chamfer",
+                ),
+                late_freq_weight=getattr(
+                    flags, "late_freq_weight",
+                    0.0 if recipe == "reference" else 300.0,
+                ),
+            )
         with open(results_path, "a") as f:
             f.write(
                 f"material:{i}\nyoungs:{res['youngs']}\npoisson:{res['poisson']}\n"

@@ -98,10 +98,65 @@ class MaterialBins:
 
     def pretrain(self, params, steps: int = 5000, lr: float = 5e-3):
         """Fit the bin logits so the weighted values hit the table's
-        (E, nu) before inference starts."""
+        (E, nu) before inference starts.  Adam projection (exact=False):
+        the exact two-bin placement would leave every other logit at -18
+        where softplus gradients are ~1e-8 — a FROZEN init for the
+        gradient recipes that train from here."""
+        return self.fit_to(params, self.mat.youngs, self.mat.poisson,
+                           steps=steps, lr=lr, exact=False)
+
+    def exact_logits(self, target: float, values: np.ndarray, dtype):
+        """Closed-form logits whose softplus-normalized convex combination
+        equals `target` exactly: weight split between the two bracketing
+        bins, every other bin at softplus(-18) ~ 1.5e-8.
+
+        Adam-based projection systematically overshoots values near the
+        low end of a log-spaced bin range (residual softplus weight on
+        the large bins biases the average up — measured +55% for a
+        target at bin 2 of 16 spanning 2 decades, the round-2 pair-0
+        failure)."""
+        v = np.asarray(values, np.float64)
+        n = len(v)
+        t = float(np.clip(target, v.min(), v.max()))
+        if n == 1:
+            return jnp.asarray([0.0], dtype)
+        i = int(np.clip(np.searchsorted(v, t) - 1, 0, n - 2))
+        floor = 1.5e-8  # softplus(-18)
+        w = np.full(n, floor)
+        # solve a v_i + b v_{i+1} = t - S with a + b = 1 - F, where F/S are
+        # the floor bins' total weight/value mass (weights sum to 1, so the
+        # softplus normalization is the identity)
+        F = floor * (n - 2)
+        S = floor * (float(np.sum(v)) - v[i] - v[i + 1])
+        a = ((1.0 - F) * v[i + 1] - (t - S)) / (v[i + 1] - v[i])
+        a = float(np.clip(a, floor, 1.0 - F - floor))
+        w[i], w[i + 1] = a, (1.0 - F) - a
+        logits = np.log(np.expm1(np.maximum(w, 1e-12)))
+        return jnp.asarray(logits, dtype)
+
+    def fit_to(self, params, youngs: float, poisson: float,
+               steps: int = 300, lr: float = 2e-3, exact: bool = True):
+        """Project explicit (E, nu) values onto the bin logits.
+
+        exact=True (the modal-Newton handoff): closed-form two-bin
+        placement, then a short Adam polish — representation error
+        ~1e-7 relative.  exact=False (gradient-recipe inits): Adam-only
+        from the incoming logits, which keeps every bin's logit in the
+        responsive range for later training (placement accuracy ~1%,
+        biased high near the low end of log-spaced ranges)."""
         import optax
 
-        gt_y, gt_p = self.mat.youngs, self.mat.poisson
+        if exact:
+            dtype = params["youngs_logits"].dtype
+            params = dict(params)
+            params["youngs_logits"] = self.exact_logits(
+                youngs, self.youngs_values, dtype
+            )
+            if self.learn_poisson:
+                params["poisson_logits"] = self.exact_logits(
+                    poisson, self.poisson_values, dtype
+                )
+        gt_y, gt_p = youngs, poisson
         opt = optax.adam(lr)
 
         def loss_fn(p):

@@ -112,7 +112,7 @@ class ModalNewtonFitter:
     convention)."""
 
     def __init__(self, model, peaks, peak_weights, sr, alpha, beta,
-                 match_sigma: float = 0.06):
+                 match_sigma: float = 0.06, damping_curve=None):
         self.model = model
         self.peaks = np.asarray(peaks, np.float64)
         self.pw = np.asarray(peak_weights, np.float64)
@@ -121,6 +121,24 @@ class ModalNewtonFitter:
         self.beta = float(beta)
         # Gaussian gate width in log-frequency for assignment confidence
         self.match_sigma = match_sigma
+        # real-audio path: damping d(f_undamped) extracted from recordings
+        # (audio/damping.DampingCurve) instead of the Rayleigh table; then
+        # lam = (2 pi fd)^2 + d^2 directly (d does not depend on lam)
+        self.damping_curve = damping_curve
+
+    def _lam_from_fd(self, fd):
+        if self.damping_curve is None:
+            return lambda_from_damped_freq(fd, self.alpha, self.beta)
+        d = float(np.asarray(self.damping_curve(np.asarray([fd]))).reshape(-1)[0])
+        return (2.0 * np.pi * fd) ** 2 + d * d
+
+    def _fd_from_lam(self, lam_el):
+        if self.damping_curve is None:
+            d = 0.5 * (self.alpha + self.beta * lam_el)
+        else:
+            f_und = np.sqrt(np.maximum(lam_el, 0.0)) / (2 * np.pi)
+            d = np.asarray(self.damping_curve(f_und)).reshape(lam_el.shape)
+        return np.sqrt(np.maximum(lam_el - d * d, 1e-12)) / (2 * np.pi)
 
     def _assign_targets(self, pred_fd):
         """Per mode: nearest peak in folded log-frequency, unfolded to the
@@ -139,9 +157,32 @@ class ModalNewtonFitter:
             cands = unfold_candidates(self.peaks[j], self.sr)
             cands = cands[cands > 0]
             fd_t = float(cands[np.argmin(np.abs(cands - fd))])
-            lam_tgt[i] = lambda_from_damped_freq(fd_t, self.alpha, self.beta)
+            lam_tgt[i] = self._lam_from_fd(fd_t)
             w[i] = self.pw[j] * np.exp(-0.5 * (d[j] / self.match_sigma) ** 2)
         return lam_tgt, w
+
+    def _scale_align(self, fd):
+        """Global 1-D pre-alignment: scaling (mu, lam) by c scales every
+        eigenvalue by c and every frequency by sqrt(c) EXACTLY (K linear
+        in the Lame pair, eigenvectors unchanged), so the best overall
+        frequency scale is a cheap host scan.  Score = how well the
+        scaled predictions cover the extracted peaks (weighted Gaussian
+        coverage in log-frequency, folded).  Without this, a far-off init
+        (>~25% in E) can lock the assignment onto neighboring peaks — a
+        self-consistent wrong fixed point."""
+        lp = np.log(np.maximum(self.peaks, 20.0))
+        best_c, best_score = 1.0, -np.inf
+        for c in np.exp(np.linspace(-1.6, 1.6, 321)):
+            f = fd * np.sqrt(c)
+            fold = np.abs(f - self.sr * np.round(f / self.sr))
+            lf = np.log(np.maximum(fold, 20.0))
+            dmin = np.min(np.abs(lp[:, None] - lf[None, :]), axis=1)
+            score = float(np.sum(
+                self.pw * np.exp(-0.5 * (dmin / self.match_sigma) ** 2)
+            ))
+            if score > best_score:
+                best_c, best_score = float(c), score
+        return best_c
 
     def fit(self, mu0: float, lam0_lame: float, rounds: int = 6,
             eig=None, verbose: bool = False):
@@ -163,8 +204,15 @@ class ModalNewtonFitter:
             nr = model.extra_modes
             lam_now = lam0 + mu * q_mu + lam * q_lam - lam0 * q_m
             lam_el = lam_now[nr:]
-            d = 0.5 * (self.alpha + self.beta * lam_el)
-            fd = np.sqrt(np.maximum(lam_el - d * d, 1e-12)) / (2 * np.pi)
+            fd = self._fd_from_lam(lam_el)
+            if r == 0:
+                c = self._scale_align(fd)
+                if verbose and abs(c - 1.0) > 1e-3:
+                    print(f"  scale pre-alignment: c = {c:.4f} "
+                          f"(E x{c:.3f})")
+                mu, lam = mu * c, lam * c
+                lam_el = lam_el * c  # exact under uniform scaling
+                fd = self._fd_from_lam(lam_el)
             lam_tgt, w = self._assign_targets(fd)
             mu_n, lam_n = modal_lsq_fit(
                 lam0[nr:], q_mu[nr:], q_lam[nr:], q_m[nr:], lam_tgt, w

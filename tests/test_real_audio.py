@@ -133,3 +133,41 @@ def test_gt_oscillator_fit_recovers_modes():
     v = curve(np.array([800.0, 2100.0]))
     assert np.all(np.isfinite(v))
     assert np.all(v > 0)
+
+
+def test_stage2_newton_init_recovers_material():
+    """train_material_real with the modal-Newton initializer: synthetic
+    'recordings' built with a known damping CURVE (not the Rayleigh
+    table) on a small cube; the closed-form fit must land (E, nu) near
+    the truth before the polish epochs even start."""
+    from diffsound_tpu.audio.oscillator import synth_constant_modes
+    from diffsound_tpu.experiments.material_real import train_material_real
+    from diffsound_tpu.fem.mesh import cube_tet_mesh
+    from diffsound_tpu.models.sound_obj import build_model
+
+    mesh = cube_tet_mesh(3, size=0.4)
+    sr, T, modes = 32000.0, 6000, 10
+    gt = (2700.0, 5.6e10, 0.27, 6.0, 1e-7)
+    init = (2700.0, 3.4e10, 0.18, 6.0, 1e-7)
+
+    gt_model = build_model(mesh=mesh, mode_num=modes, order=1, mat=gt,
+                           task="gt", dtype=jnp.float64)
+    eig = gt_model.eigen_decomposition(method="arpack", sigma=1e6)
+    f_und = np.asarray(gt_model.get_undamped_freqs({}, eig))
+    curve = DampingCurve(np.linspace(100.0, 16000.0, 50),
+                         4.0 + 1e-3 * np.linspace(100.0, 16000.0, 50))
+    d = np.asarray(curve(f_und))
+    fd = np.sqrt(np.maximum((2 * np.pi * f_und) ** 2 - d**2, 0.0)) / (2 * np.pi)
+    audio = synth_constant_modes(
+        jnp.asarray(fd, jnp.float32)[None, :],
+        jnp.asarray(d, jnp.float32)[None, :],
+        jnp.ones((1, modes), jnp.float32), T, sr,
+    )
+
+    res = train_material_real(
+        mesh, np.asarray(audio), curve, init, exp_mode=2, mode_num=modes,
+        sample_rate=sr, max_epoch=2, early_loss_epoch=0, verbose=False,
+        newton_init=True,
+    )
+    assert abs(res["youngs"] - gt[1]) / gt[1] < 0.04, res["youngs"]
+    assert abs(res["poisson"] - gt[2]) < 0.05, res["poisson"]

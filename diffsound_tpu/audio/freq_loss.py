@@ -1,14 +1,14 @@
 """Spectral-peak frequency-matching loss: a ripple-free early phase for
 material inference.
 
-Motivation (round-3 diagnosis, out/diag_r3): the reference's early-phase
+Motivation (round-3 diagnosis, benchmarks/diagnostics + results/r3/diag): the reference's early-phase
 Sinkhorn + late-phase L1 recipe (/root/reference/src/ddsp/mss_loss.py)
 operates on STFT magnitudes, whose value is smooth in the *envelope* but
 carries a fine-scale ripple in mode frequency (spectral-leakage phase
 alignment).  At the round-2 stall point of the flagship's high-E pairs the
 measured directional derivative along +E was ~20x the envelope slope and
 sign-flipping on a <0.2% scale in E, so Adam froze ~30% below the target —
-while the envelope landscape (out/diag_r3/loss_sweep2d.py) is cleanly
+while the envelope landscape (benchmarks/diagnostics/loss_sweep2d.py) is cleanly
 monotone toward the optimum.  Audio losses cannot avoid this: any
 phase-blind spectrogram distance inherits leakage ripple.
 

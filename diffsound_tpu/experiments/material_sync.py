@@ -134,7 +134,7 @@ class MaterialSyncTask:
         late_freq_weight: weight of the freq-chamfer auxiliary kept in the
         late L1 phase (freq_chamfer mode only; 0 disables) — it holds the
         modes pinned where the L1 landscape's leakage ripple would
-        otherwise freeze Adam (round-2 high-E stall, out/diag_r3)."""
+        otherwise freeze Adam (round-2 high-E stall, benchmarks/diagnostics + results/r3/diag)."""
         model = build_model(
             mesh=self.mesh, mode_num=self.mode_num, order=self.mesh_order,
             mat=init_mat, task=self.task, dtype=self.dtype,
@@ -350,7 +350,7 @@ class MaterialSyncTask:
         Orders of magnitude faster than the epoch recipe (each Newton
         round costs one warm eigensolve) and immune to the spectral-
         leakage ripple that froze round 2's high-E pairs; see
-        out/diag_r3 and BENCH_NOTES."""
+        benchmarks/diagnostics + results/r3/diag and BENCH_NOTES."""
         import time as _time
 
         from ..audio.freq_loss import extract_spectral_peaks

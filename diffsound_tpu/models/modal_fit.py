@@ -15,7 +15,7 @@ true nonlinear problem: each round costs ONE eigensolve and converges in
 a handful of rounds, where the reference's Adam-on-spectrogram recipe
 (/root/reference/experiments/material_sync_train.py:95-215) takes
 thousands of epochs and, on high-E targets, freezes in spectral-leakage
-ripple ~30% from the target (round-2 post-mortem, out/diag_r3).
+ripple ~30% from the target (round-2 post-mortem, benchmarks/diagnostics + results/r3/diag).
 
 Aliasing and damping are inverted exactly: an extracted peak at apparent
 frequency fp corresponds to damped frequency fd in {fp, sr - fp, ...};

@@ -113,6 +113,12 @@ class ModalNewtonFitter:
 
     def __init__(self, model, peaks, peak_weights, sr, alpha, beta,
                  match_sigma: float = 0.06, damping_curve=None):
+        if len(np.atleast_1d(peaks)) == 0:
+            raise ValueError(
+                "no spectral peaks extracted from the target audio "
+                "(silent/degenerate input?) — the modal fit has nothing "
+                "to match; use the gradient recipe instead"
+            )
         self.model = model
         self.peaks = np.asarray(peaks, np.float64)
         self.pw = np.asarray(peak_weights, np.float64)

@@ -102,6 +102,43 @@ def lame_to_E_nu(mu: float, lam: float):
     return E, nu
 
 
+def assign_targets(pred_fd, peaks, pw, sr, match_sigma, lam_from_fd):
+    """Per mode: nearest peak in folded log-frequency, unfolded to the
+    damped-frequency branch nearest the prediction; weight = peak weight
+    x Gaussian(log distance).  lam_from_fd: damped freq -> undamped
+    eigenvalue (damping-model specific)."""
+    k = len(pred_fd)
+    lam_tgt = np.zeros(k)
+    w = np.zeros(k)
+    for i, fd in enumerate(pred_fd):
+        fold_fd = abs(fd - sr * round(fd / sr))
+        d = np.abs(np.log(np.maximum(fold_fd, 20.0))
+                   - np.log(np.maximum(peaks, 20.0)))
+        j = int(np.argmin(d))
+        cands = unfold_candidates(peaks[j], sr)
+        cands = cands[cands > 0]
+        fd_t = float(cands[np.argmin(np.abs(cands - fd))])
+        lam_tgt[i] = lam_from_fd(fd_t)
+        w[i] = pw[j] * np.exp(-0.5 * (d[j] / match_sigma) ** 2)
+    return lam_tgt, w
+
+
+def scale_align(fd, peaks, pw, sr, match_sigma):
+    """Best global frequency scale sqrt(c): see
+    ModalNewtonFitter._scale_align (uniform Lame scaling is exact)."""
+    lp = np.log(np.maximum(peaks, 20.0))
+    best_c, best_score = 1.0, -np.inf
+    for c in np.exp(np.linspace(-1.6, 1.6, 321)):
+        f = fd * np.sqrt(c)
+        fold = np.abs(f - sr * np.round(f / sr))
+        lf = np.log(np.maximum(fold, 20.0))
+        dmin = np.min(np.abs(lp[:, None] - lf[None, :]), axis=1)
+        score = float(np.sum(pw * np.exp(-0.5 * (dmin / match_sigma) ** 2)))
+        if score > best_score:
+            best_c, best_score = float(c), score
+    return best_c
+
+
 class ModalNewtonFitter:
     """Iterated assign + closed-form LSQ material fit.
 
@@ -147,48 +184,19 @@ class ModalNewtonFitter:
         return np.sqrt(np.maximum(lam_el - d * d, 1e-12)) / (2 * np.pi)
 
     def _assign_targets(self, pred_fd):
-        """Per mode: nearest peak in folded log-frequency, unfolded to the
-        damped-frequency branch nearest the prediction; weight = peak
-        weight x Gaussian(log distance)."""
-        k = len(pred_fd)
-        lam_tgt = np.zeros(k)
-        w = np.zeros(k)
-        nyq = self.sr / 2.0
-        for i, fd in enumerate(pred_fd):
-            fold_fd = abs(fd - self.sr * round(fd / self.sr))
-            d = np.abs(np.log(np.maximum(fold_fd, 20.0))
-                       - np.log(np.maximum(self.peaks, 20.0)))
-            j = int(np.argmin(d))
-            # unfold the peak to the branch nearest the predicted fd
-            cands = unfold_candidates(self.peaks[j], self.sr)
-            cands = cands[cands > 0]
-            fd_t = float(cands[np.argmin(np.abs(cands - fd))])
-            lam_tgt[i] = self._lam_from_fd(fd_t)
-            w[i] = self.pw[j] * np.exp(-0.5 * (d[j] / self.match_sigma) ** 2)
-        return lam_tgt, w
+        return assign_targets(
+            pred_fd, self.peaks, self.pw, self.sr, self.match_sigma,
+            self._lam_from_fd,
+        )
 
     def _scale_align(self, fd):
         """Global 1-D pre-alignment: scaling (mu, lam) by c scales every
         eigenvalue by c and every frequency by sqrt(c) EXACTLY (K linear
         in the Lame pair, eigenvectors unchanged), so the best overall
-        frequency scale is a cheap host scan.  Score = how well the
-        scaled predictions cover the extracted peaks (weighted Gaussian
-        coverage in log-frequency, folded).  Without this, a far-off init
-        (>~25% in E) can lock the assignment onto neighboring peaks — a
-        self-consistent wrong fixed point."""
-        lp = np.log(np.maximum(self.peaks, 20.0))
-        best_c, best_score = 1.0, -np.inf
-        for c in np.exp(np.linspace(-1.6, 1.6, 321)):
-            f = fd * np.sqrt(c)
-            fold = np.abs(f - self.sr * np.round(f / self.sr))
-            lf = np.log(np.maximum(fold, 20.0))
-            dmin = np.min(np.abs(lp[:, None] - lf[None, :]), axis=1)
-            score = float(np.sum(
-                self.pw * np.exp(-0.5 * (dmin / self.match_sigma) ** 2)
-            ))
-            if score > best_score:
-                best_c, best_score = float(c), score
-        return best_c
+        frequency scale is a cheap host scan.  Without this, a far-off
+        init (>~25% in E) can lock the assignment onto neighboring peaks
+        — a self-consistent wrong fixed point."""
+        return scale_align(fd, self.peaks, self.pw, self.sr, self.match_sigma)
 
     def fit(self, mu0: float, lam0_lame: float, rounds: int = 6,
             eig=None, verbose: bool = False):
@@ -236,6 +244,12 @@ class ModalNewtonFitter:
             mu, lam = mu_n, lam_n
             if converged:
                 break
+        # the f32 warm-solve noise makes (mu, lam) jitter ~1e-3 round to
+        # round at the fixed point; the median of the settled tail is a
+        # strictly better estimate than the last sample
+        tail = hist[-min(5, max(1, len(hist) - 2)):]
+        mu = float(np.median([h["mu"] for h in tail]))
+        lam = float(np.median([h["lam"] for h in tail]))
         E, nu = lame_to_E_nu(mu, lam)
         return {
             "mu": mu, "lam": lam,

@@ -130,3 +130,50 @@ def test_parallel_converges_like_serial():
     # measured: the early-Sinkhorn -> late-L1 schedule lands both pairs
     # within 0.05% of target at 300 epochs; 1% leaves seed headroom
     assert rel.max() < 0.01, (E_b, targets)
+
+
+def test_batched_newton_fit_recovers_both_pairs():
+    """parallel/newton.py: ONE sharded refresh per round fits all pairs'
+    materials simultaneously; each pair must land near ITS OWN target
+    (distinct targets -> cross-pair mixing would be visible)."""
+    from diffsound_tpu.audio.freq_loss import extract_spectral_peaks
+    from diffsound_tpu.fem.material import lame_params
+    from diffsound_tpu.parallel.newton import BatchedModalNewton
+
+    mesh = cube_tet_mesh(2, size=0.5)
+    base = (2700, 7.2e10, 0.19, 6, 1e-7)
+    mode_num, sr, T = 6, 32000.0, 4000
+    targets = [(2700, 5.2e10, 0.27, 6, 1e-7), (2700, 9.0e10, 0.14, 6, 1e-7)]
+
+    model = build_model(mesh=mesh, mode_num=mode_num, order=1, mat=base,
+                        task="material", dtype=jnp.float64)
+    peaks_list, pw_list = [], []
+    for t in targets:
+        gt_model = build_model(mesh=mesh, mode_num=mode_num, order=1, mat=t,
+                               task="gt", dtype=jnp.float64)
+        eig = gt_model.eigen_decomposition(method="arpack", sigma=1e6)
+        freqs = gt_model.get_undamped_freqs({}, eig)
+        osc = TraditionalOscillatorParams(1, mode_num, T, sr, Material.of(t))
+        sig, _ = osc(freqs, impulse_forces(1, 20, jnp.float64),
+                     dtype=jnp.float64)
+        pk, pw = extract_spectral_peaks(np.asarray(sig), sr)
+        peaks_list.append(pk)
+        pw_list.append(pw)
+
+    dmesh = make_device_mesh(dp=2, ep=4)
+    osc0 = TraditionalOscillatorParams(1, mode_num, T, sr, Material.of(base))
+    trainer = MultipairTrainer(
+        bins=model.bins, ops=model.ops, osc=osc0, mesh=dmesh,
+        forces=impulse_forces(1, 20, jnp.float64), sample_rate=sr,
+    )
+    eig0 = model.eigen_decomposition(method="arpack", sigma=1e6)
+    eigvec_b = jnp.stack([eig0.eigenvectors] * 2)
+
+    fitter = BatchedModalNewton(trainer, peaks_list, pw_list, sr, 6.0, 1e-7)
+    mu0, lam0 = lame_params(base[1] / base[0], base[2])
+    res = fitter.fit(
+        np.full(2, float(mu0)), np.full(2, float(lam0)), eigvec_b, rounds=10,
+    )
+    for b, t in enumerate(targets):
+        assert abs(res["E"][b] - t[1]) / t[1] < 0.03, (b, res["E"], t)
+        assert abs(res["nu"][b] - t[2]) < 0.04, (b, res["nu"], t)

@@ -80,12 +80,12 @@ def test_geometry_optimization_reduces_eig_loss():
     rng = np.random.default_rng(1)
     q = rng.uniform(-0.5, 0.5, (4000, 3))
     sd_init = 0.36 - np.linalg.norm(q, axis=1)
-    params = task.pretrain_sdf(params, q, sd_init, iters=400, lr=1e-3)
+    params = task.pretrain_sdf(params, q, sd_init, iters=250, lr=1e-3)
 
     # constraint from the *target* (as in the reference: coarse voxel of GT)
     sd_tgt = 0.30 - np.linalg.norm(q, axis=1)
     params, best, hist = task.optimize(
-        params, gt_vals, q, sd_tgt, iters=12, lr=3e-4, verbose=False
+        params, gt_vals, q, sd_tgt, iters=8, lr=3e-4, verbose=False
     )
-    assert len(hist) >= 8
+    assert len(hist) >= 6
     assert hist[-1]["eig"] < hist[0]["eig"], hist

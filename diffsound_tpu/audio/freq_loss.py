@@ -52,19 +52,22 @@ def extract_spectral_peaks(
     the heavily Rayleigh-damped top modes, which would reduce the match
     loss to a fundamental-only pull.
     """
-    x = np.asarray(audio, np.float64)
-    if x.ndim == 2:
-        x = x.mean(axis=0)
+    x = np.atleast_2d(np.asarray(audio, np.float64))  # (A, T)
     hop = n_fft // 4
     win = np.hanning(n_fft)
-    n_frames = max(1, (len(x) - n_fft) // hop + 1)
+    T = x.shape[1]
+    n_frames = max(1, (T - n_fft) // hop + 1)
     acc = np.zeros(n_fft // 2 + 1)
-    for i in range(n_frames):
-        fr = x[i * hop : i * hop + n_fft]
-        if len(fr) < n_fft:
-            fr = np.pad(fr, (0, n_fft - len(fr)))
-        acc += np.abs(np.fft.rfft(fr * win))
-    mag = acc / n_frames
+    # average MAGNITUDE spectra over channels and frames — averaging the
+    # waveforms instead would let the mics' different modal phases cancel
+    # and hide modes (observed risk on the 8-mic real recordings)
+    for ch in x:
+        for i in range(n_frames):
+            fr = ch[i * hop : i * hop + n_fft]
+            if len(fr) < n_fft:
+                fr = np.pad(fr, (0, n_fft - len(fr)))
+            acc += np.abs(np.fft.rfft(fr * win))
+    mag = acc / (n_frames * x.shape[0])
     logm = 20.0 * np.log10(mag + 1e-12)
     thresh = logm.max() - floor_db
     # strict local maxima above the floor, skipping DC/Nyquist edges

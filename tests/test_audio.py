@@ -390,3 +390,17 @@ class TestFreqChamfer:
             stall, jnp.asarray(pk), jnp.asarray(w), self.SR
         ))
         assert loss_true < loss_stall
+
+    def test_peak_extraction_multichannel_phase_robust(self):
+        """Two mics with the same mode at OPPOSITE phase: waveform
+        averaging would cancel it; magnitude-spectra averaging must
+        still find it."""
+        from diffsound_tpu.audio.freq_loss import extract_spectral_peaks
+
+        t = np.arange(8000) / self.SR
+        f0 = 3702.5
+        ch0 = np.exp(-12 * t) * np.sin(2 * np.pi * f0 * t)
+        audio = np.stack([ch0, -ch0])  # mean(waveforms) == 0
+        pk, w = extract_spectral_peaks(audio, self.SR)
+        assert len(pk) >= 1
+        assert np.min(np.abs(pk - f0)) < 4.0, pk

@@ -68,10 +68,14 @@ def main(argv=None):
         result = history[-1]["coef"]
         total_error += (result - thickness) ** 2 / len(flags.thickness_list)
         results.append((thickness, result))
+        its = flags.iter / wall
+        warm = task.warm.total_warm if task.warm else 0
+        cold = task.warm.total_cold if task.warm else 0
         print(f"target:{thickness} result:{result} "
-              f"({flags.iter / wall:.2f} it/s)")
+              f"({its:.2f} it/s, {warm} warm / {cold} cold solves)")
         with open(result_path, "a") as f:
-            f.write(f"target:{thickness} result:{result}\n")
+            f.write(f"target:{thickness} result:{result} "
+                    f"iters_per_sec:{its:.3f} warm:{warm} cold:{cold}\n")
 
         # export the recovered surface
         out = task._march(task.sdf, jnp.asarray(result * task.max_thickness))

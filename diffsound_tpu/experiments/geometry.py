@@ -73,12 +73,14 @@ def main(argv=None):
                     params, Q * size, sd, iters=2000, lr=1e-4, verbose=True
                 )
                 print("optimizing against eigenvalues")
+                # metrics streamed per iteration (a kill keeps the history)
                 params, best, hist = task.optimize(
                     params, gt_vals, Q * size, sd,
                     iters=flags.iter, lr=flags.learning_rate,
+                    on_iter=lambda rec: logger.scalar(
+                        f"{model_name}_{mode_num}", rec["eig"], rec["iter"]
+                    ),
                 )
-                for rec in hist:
-                    logger.scalar(f"{model_name}_{mode_num}", rec["eig"], rec["iter"])
                 if best.get("verts") is not None:
                     TetMesh(best["verts"], best["tets"]).export(
                         os.path.join(out_dir, f"{model_name}_{mode_num}.msh")

@@ -187,6 +187,14 @@ class MarchingTets:
                 uniq_roots, counts = np.unique(roots, return_counts=True)
                 largest = uniq_roots[counts.argmax()]
                 valid = valid[roots == largest]
+            # refine by FACE connectivity: a chunk attached through only a
+            # vertex or edge is vertex-connected but mechanically a hinge
+            # (free rotation -> spurious near-zero eigenvalues beyond the
+            # 6 rigid modes; observed on the grid-64 marched turtle)
+            nf, tlabels = meshops.face_connected_components(valid)
+            if nf > 1:
+                uniq, counts = np.unique(tlabels, return_counts=True)
+                valid = valid[tlabels == uniq[counts.argmax()]]
 
         used, tets_c = meshops.compact_tets(
             valid.astype(np.int32), np.ones(len(valid), bool)

@@ -196,7 +196,10 @@ class GeometryTask:
 
     def optimize(self, params, target, query_points, signed_distance,
                  iters: int = 1000, lr: float = 1e-5, margin: float = 0.0,
-                 verbose: bool = True):
+                 verbose: bool = True, on_iter=None):
+        """on_iter(rec): called per iteration with the metric record —
+        stream metrics so a crash/kill keeps the history (same post-
+        mortem as the joint task's round-2 empty evidence files)."""
         q = jnp.asarray(query_points)
         sd = jnp.asarray(signed_distance)
         tgt = np.asarray(target)
@@ -218,6 +221,8 @@ class GeometryTask:
             rec = {"iter": it, "loss": float(loss),
                    "template": float(tmpl), "eig": float(eig_l)}
             history.append(rec)
+            if on_iter is not None:
+                on_iter(rec)
             if float(loss) < best["loss"]:
                 vc = np.asarray(out.all_verts)[comp["keep_idx"]][: comp["num_verts"]]
                 tc = comp["tets"][: comp["num_tets"]]

@@ -141,3 +141,34 @@ def compact_tets(tets: np.ndarray, mask: np.ndarray):
     valid = tets[mask.astype(bool)]
     used, inv = np.unique(valid.reshape(-1), return_inverse=True)
     return used.astype(np.int64), inv.reshape(-1, 4).astype(np.int64)
+
+
+def face_connected_components(tets: np.ndarray):
+    """-> (ncomp, tet_labels (T,)) over shared-FACE adjacency.
+
+    Vertex connectivity (connected_components) treats two bodies touching
+    at a single vertex or edge as one component, but such joints are
+    mechanisms (free relative rotation) that add spurious near-zero
+    eigenvalues beyond the 6 rigid modes — observed on the grid-64
+    marched turtle (>=10 near-zero modes).  Only a shared triangular
+    face transmits stiffness, so the largest FACE-connected component is
+    the mechanically meaningful body."""
+    import scipy.sparse as sp
+
+    tets = np.ascontiguousarray(tets, np.int64)
+    T = len(tets)
+    if T == 0:
+        return 0, np.zeros(0, np.int64)
+    # 4 faces per tet, canonicalized by sorting the 3 vertex ids
+    fidx = [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]]
+    faces = np.concatenate([np.sort(tets[:, f], axis=1) for f in fidx])
+    owner = np.tile(np.arange(T), 4)
+    order = np.lexsort(faces.T)
+    faces, owner = faces[order], owner[order]
+    same = np.all(faces[1:] == faces[:-1], axis=1)
+    a, b = owner[:-1][same], owner[1:][same]  # face-sharing tet pairs
+    A = sp.coo_matrix(
+        (np.ones(len(a), np.float32), (a, b)), shape=(T, T)
+    )
+    n, labels = sp.csgraph.connected_components(A, directed=False)
+    return int(n), labels.astype(np.int64)

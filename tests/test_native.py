@@ -66,3 +66,25 @@ def test_compact_tets_matches_numpy():
     used, inv = np.unique(valid.reshape(-1), return_inverse=True)
     np.testing.assert_array_equal(keep, used)
     np.testing.assert_array_equal(tc, inv.reshape(-1, 4))
+
+
+def test_face_connected_components():
+    """Shared face = one body; shared vertex or edge only = separate
+    (mechanical hinge) components."""
+    from diffsound_tpu.native.meshops import face_connected_components
+    import numpy as np
+
+    # two tets sharing face (0,1,2)
+    tets = np.array([[0, 1, 2, 3], [0, 1, 2, 4]])
+    n, lab = face_connected_components(tets)
+    assert n == 1 and lab[0] == lab[1]
+
+    # two tets sharing only vertex 0
+    tets = np.array([[0, 1, 2, 3], [0, 4, 5, 6]])
+    n, lab = face_connected_components(tets)
+    assert n == 2 and lab[0] != lab[1]
+
+    # two tets sharing only edge (0, 1)
+    tets = np.array([[0, 1, 2, 3], [0, 1, 4, 5]])
+    n, lab = face_connected_components(tets)
+    assert n == 2 and lab[0] != lab[1]

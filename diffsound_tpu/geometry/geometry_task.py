@@ -42,7 +42,16 @@ class GeometryTask:
         tets_dir: Optional[str] = None,
         eig_method: str = "warm",
         reanchor_every: int = 50,
+        refresh_every: int = 1,
     ):
+        """refresh_every: true eigensolve cadence; off-cadence steps map
+        the detached basis across the remesh (tasks.py docstring).
+        Default 1 (reference parity): ONE Adam(1e-5) step on the SDF MLP
+        measurably moves the true eigenvalues by median 2.5% / max 9.5%
+        (Adam's RMS-normalized steps are not small in function space), so
+        the first-order mapped correction is not accurate enough here —
+        use >1 only with step sizes whose per-step eigenvalue drift is
+        well under 1%."""
         kw = {} if tets_dir is None else {"tets_dir": tets_dir}
         verts, tets = load_background_grid(grid_res, **kw)
         self.grid_verts = verts.astype(np.float64) * scale
@@ -69,6 +78,8 @@ class GeometryTask:
             )
         else:
             self.warm = None
+        self.refresh_every = refresh_every
+        self._steps_since_refresh = 0
 
     def _lame(self):
         return lame_params(self.mat.youngs / self.mat.density, self.mat.poisson)
@@ -170,11 +181,22 @@ class GeometryTask:
             # where k differs from the warm solver's fixed basis width)
             lam, U = self._eigensolve_host(out, comp, k)
         else:
-            mu, lame_l = self._lame()
-            lam, U = self.warm.solve(
-                out, comp, float(mu), float(lame_l),
-                host_solve=lambda: self._eigensolve_host(out, comp, k),
-            )
+            mapped = None
+            if (
+                self.refresh_every > 1
+                and self._steps_since_refresh + 1 < self.refresh_every
+            ):
+                mapped = self.warm.map_only(out, comp)
+            if mapped is not None:
+                self._steps_since_refresh += 1
+                lam, U = mapped
+            else:
+                self._steps_since_refresh = 0
+                mu, lame_l = self._lame()
+                lam, U = self.warm.solve(
+                    out, comp, float(mu), float(lame_l),
+                    host_solve=lambda: self._eigensolve_host(out, comp, k),
+                )
 
         key = (len(comp["keep_idx"]), comp["tets"].shape[0])
         if key not in self._loss_cache:

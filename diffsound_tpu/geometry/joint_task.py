@@ -175,6 +175,13 @@ class JointImageAudioTask:
             dtype=jnp.float32 if jax.default_backend() != "cpu" else jnp.float64,
             reanchor_every=50,
         )
+        # true-eigensolve cadence; off-cadence steps map the stored basis
+        # across the remesh.  Default 1 (reference parity) — see
+        # geometry_task.py: Adam steps on an SDF MLP move the true
+        # eigenvalues by ~2.5% per step, beyond the mapped correction's
+        # first-order accuracy; raise only for small-step regimes.
+        self.refresh_every = 1
+        self._steps_since_refresh = 0
 
     # -- parameters ---------------------------------------------------------
 
@@ -301,13 +308,26 @@ class JointImageAudioTask:
         tric = MarchingTets.compact_triangles_padded(out, tri_bucket)
         k = len(target_vals) + self.extra_modes
         if self.warm is not None and k == self.warm.k:
-            from ..fem.material import lame_params as _lp
+            mapped = None
+            if (
+                self.refresh_every > 1
+                and self._steps_since_refresh + 1 < self.refresh_every
+            ):
+                mapped = self.warm.map_only(out, comp)
+            if mapped is not None:
+                self._steps_since_refresh += 1
+                lam, U = mapped
+            else:
+                self._steps_since_refresh = 0
+                from ..fem.material import lame_params as _lp
 
-            mu, lame_l = _lp(self.mat.youngs / self.mat.density, self.mat.poisson)
-            lam, U = self.warm.solve(
-                out, comp, float(mu), float(lame_l),
-                host_solve=lambda: self._eigensolve_host(out, comp, k),
-            )
+                mu, lame_l = _lp(
+                    self.mat.youngs / self.mat.density, self.mat.poisson
+                )
+                lam, U = self.warm.solve(
+                    out, comp, float(mu), float(lame_l),
+                    host_solve=lambda: self._eigensolve_host(out, comp, k),
+                )
         else:
             lam, U = self._eigensolve_host(out, comp, k)
         v_tex, t_tex_idx = map_uv(tric["face_gidx"], out.surf_tris.shape[0])

@@ -55,7 +55,13 @@ class ShapeTaskBase:
         tets_dir: Optional[str] = None,
         eig_method: str = "warm",
         reanchor_every: int = 0,
+        refresh_every: int = 1,
     ):
+        """refresh_every: true eigensolve cadence.  1 = solve every step
+        (the reference re-solves every iteration, thickness_train.py:
+        42-90); N > 1 maps the detached basis across remeshes in between
+        (Rayleigh-correction exactness is first order in the drift —
+        the reference's own material_sync amortization applied here)."""
         kw = {} if tets_dir is None else {"tets_dir": tets_dir}
         verts, tets = load_background_grid(grid_res, **kw)
         self.grid_verts = verts.astype(np.float64) * scale
@@ -87,6 +93,8 @@ class ShapeTaskBase:
             )
         else:
             self.warm = None
+        self.refresh_every = refresh_every
+        self._steps_since_refresh = 0
 
     # material (density-normalized)
     def _lame(self):
@@ -121,9 +129,20 @@ class ShapeTaskBase:
 
     def _eigensolve(self, out, comp):
         """Training-loop eigensolve: device warm path when enabled (cold
-        falls back to host ARPACK inside the warm solver)."""
+        falls back to host ARPACK inside the warm solver); on the
+        refresh_every cadence, off-cadence steps only MAP the stored
+        basis across the remesh (see WarmShapeEigensolver.map_only)."""
         if self.warm is None:
             return self._eigensolve_host(out, comp)
+        if (
+            self.refresh_every > 1
+            and self._steps_since_refresh + 1 < self.refresh_every
+        ):
+            mapped = self.warm.map_only(out, comp)
+            if mapped is not None:
+                self._steps_since_refresh += 1
+                return mapped
+        self._steps_since_refresh = 0
         mu, lam = self._lame()
         return self.warm.solve(
             out, comp, float(mu), float(lam),

@@ -144,3 +144,31 @@ def test_thickness_recovery_warm_path_speedup_semantics():
     # the steady state is device-resident (early big steps may escalate
     # to a host re-anchor; the majority must run warm)
     assert task.warm.total_warm >= 10, (task.warm.total_warm, task.warm.total_cold)
+
+
+def test_thickness_recovery_with_refresh_cadence():
+    """refresh_every=2: every other step only MAPS the basis across the
+    remesh (no eigensolve); recovery must still progress — validates the
+    first-order exactness of the Rayleigh correction at a stale basis.
+    (The step size must stay inside the map's drift budget: lr 5e-2 with
+    cadence 4 measurably poisons the gradient after a topology jump; the
+    cadence is built for the geometry task's lr=1e-5 regime where a
+    post-remesh refresh costs 178 LOBPCG iterations.)"""
+    verts, faces = icosphere(2, radius=0.42)
+    task = ThicknessTask(
+        grid_res=12, scale=1.0, mat=MAT, mode_num=8, tets_dir="/nonexistent",
+        refresh_every=2,
+    )
+    task.apply_sdf(verts, faces)
+    target_coef = 0.6
+    target = task.eigenvalues(target_coef)
+    params, history = task.optimize(
+        jnp.asarray(target), iters=14, lr=2e-2, verbose=False
+    )
+    assert task.warm.total_mapped >= 5, (
+        task.warm.total_mapped, task.warm.total_warm, task.warm.total_cold
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert abs(history[-1]["coef"] - target_coef) < abs(
+        history[0]["coef"] - target_coef
+    )

@@ -37,7 +37,7 @@ import numpy as np
 def extract_spectral_peaks(
     audio: np.ndarray,
     sr: float,
-    n_fft: int = None,
+    n_fft: int = 4096,
     top_k: int = 32,
     floor_db: float = 80.0,
     weight_power: float = 0.25,
@@ -54,12 +54,12 @@ def extract_spectral_peaks(
     """
     x = np.atleast_2d(np.asarray(audio, np.float64))  # (A, T)
     if n_fft is None:
-        # one zero-padded window over the whole signal: the padding
-        # interpolates the spectrum so closely-spaced modes resolve
-        # (pair 6 of the flagship set folds 5 modes into a 1 kHz band
-        # next to Nyquist; at n_fft=4096 they merged into 8 peaks and nu
-        # came back 0.055 off — at 2x-signal padding, 32 peaks separate
-        # and the fit lands E 0.54% / nu 0.008)
+        # one zero-padded window over the whole signal: resolves
+        # closely-spaced folded modes (fixes flagship pair 6: nu error
+        # 0.055 -> 0.008) but also surfaces sidelobe peaks that
+        # misassign on other spectra (pair 1: nu 0.035 -> 0.10), so the
+        # robust 4096 stays the default; pass n_fft=None explicitly for
+        # crowded near-Nyquist spectra
         n_fft = min(1 << int(np.ceil(np.log2(2 * x.shape[1]))), 65536)
     hop = n_fft // 4
     win = np.hanning(n_fft)

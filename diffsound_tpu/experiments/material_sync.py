@@ -342,6 +342,7 @@ class MaterialSyncTask:
         logger: MetricLogger = None,
         seed: int = 0,
         verbose: bool = True,
+        extraction_windows=(4096,),
         **train_kw,
     ) -> dict:
         """Closed-form modal-Newton material fit (models/modal_fit.py)
@@ -350,27 +351,66 @@ class MaterialSyncTask:
         Orders of magnitude faster than the epoch recipe (each Newton
         round costs one warm eigensolve) and immune to the spectral-
         leakage ripple that froze round 2's high-E pairs; see
-        benchmarks/diagnostics + results/r3/diag and BENCH_NOTES."""
+        benchmarks/diagnostics + results/r3/diag and BENCH_NOTES.
+
+        extraction_windows: peak-extraction n_fft candidates; with more
+        than one, each is fit and the lowest cross-view chamfer wins.
+        Default is the single robust 4096 window: the whole-signal
+        window (None) resolves crowded near-Nyquist spectra (flagship
+        pair 6: nu 0.055 -> 0.008) but misassigns on others (pair 1: nu
+        0.035 -> 0.10), and neither the audio-L1 score (leakage ripple)
+        nor cross-view chamfer (measured near-tie, wrong side) can
+        arbitrate reliably — a known limitation, documented in
+        BENCH_NOTES."""
         import time as _time
 
-        from ..audio.freq_loss import extract_spectral_peaks
+        from ..audio.freq_loss import extract_spectral_peaks, freq_chamfer_loss
         from ..fem.material import lame_params
         from ..models.modal_fit import ModalNewtonFitter
+        from ..solvers.diff_eigs import undamped_frequencies
 
         t0 = _time.perf_counter()
-        peaks, wts = extract_spectral_peaks(
-            np.asarray(gt_audio), self.sample_rate
-        )
         model = build_model(
             mesh=self.mesh, mode_num=self.mode_num, order=self.mesh_order,
             mat=init_mat, task=self.task, dtype=self.dtype,
         )
-        fitter = ModalNewtonFitter(
-            model, peaks, wts, self.sample_rate, init_mat[3], init_mat[4]
-        )
         mu0, lam0 = lame_params(init_mat[1] / init_mat[0], init_mat[2])
-        fit = fitter.fit(float(mu0), float(lam0), rounds=rounds,
-                         verbose=verbose)
+
+        peak_sets = [
+            extract_spectral_peaks(
+                np.asarray(gt_audio), self.sample_rate, n_fft=nfft
+            )
+            for nfft in extraction_windows
+        ]
+        fit = None
+        eig_carry = None
+        for nfft, (peaks, wts) in zip(extraction_windows, peak_sets):
+            fitter = ModalNewtonFitter(
+                model, peaks, wts, self.sample_rate, init_mat[3], init_mat[4]
+            )
+            cand = fitter.fit(float(mu0), float(lam0), rounds=rounds,
+                              verbose=verbose, eig=eig_carry)
+            eig_carry = cand["eig"]  # warm-start the next candidate
+            cache = model.modal_cache(cand["eig"])
+            lams = (
+                jnp.asarray(cache.eigenvalues)
+                + cand["mu"] * cache.q_mu + cand["lam"] * cache.q_lam
+                - jnp.asarray(cache.eigenvalues) * cache.q_m
+            )[model.extra_modes:]
+            freqs = undamped_frequencies(lams.astype(jnp.float32))
+            cand["score"] = sum(
+                float(freq_chamfer_loss(
+                    freqs, jnp.asarray(pk, jnp.float32),
+                    jnp.asarray(pw, jnp.float32), self.sample_rate,
+                ))
+                for pk, pw in peak_sets
+            )
+            if verbose:
+                print(f"  window {nfft}: E {cand['E']:.4g} nu "
+                      f"{cand['nu']:.4f} cross-view chamfer "
+                      f"{cand['score']:.4f}")
+            if fit is None or cand["score"] < fit["score"]:
+                fit = cand
         fit_wall = _time.perf_counter() - t0
         if logger:
             for rec in fit["history"]:

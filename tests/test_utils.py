@@ -91,3 +91,30 @@ class TestVisualize:
         )
         assert os.path.exists(out)
         assert os.path.getsize(out) > 500
+
+
+def test_bench_driver_emits_parseable_json_on_outage():
+    """bench.py's driver entry must print ONE parseable JSON line with
+    the metric schema even when the backend is unreachable (round-2
+    post-mortem: the driver recorded a raw traceback instead of a
+    number).  Forced-failure path: probe timeout ~0 with no retries."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(BENCH_PROBE_TIMEOUT="1", BENCH_RETRIES="1",
+               PALLAS_AXON_POOL_IPS="")
+    env.pop("PALLAS_AXON_POOL_IPS")
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        capture_output=True, text=True, timeout=240, env=env,
+    )
+    lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
+    assert lines, r.stderr[-500:]
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "material_sync_ord2_train_iters_per_sec"
+    assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
+    # with a 1s probe the backend can't come up -> explicit error field
+    assert rec["value"] is None and "error" in rec

@@ -14,6 +14,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _log(msg):
+    print(f"[lobpcg_bench {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
@@ -36,19 +41,24 @@ def main():
         dtype=jnp.float32,
     )
     params = model.init_params(jax.random.PRNGKey(0), pretrain=False)
+    _log(f"model built ({model.num_dof} DOF); running cold host ARPACK")
 
     t0 = time.perf_counter()
     eig = model.eigen_decomposition(params, method="arpack")
     t_arpack = time.perf_counter() - t0
+    _log(f"cold ARPACK {t_arpack:.1f}s; compiling device warm refresh")
 
     # perturb material ~2% and refresh on device (compile excluded)
     params2 = jax.tree.map(lambda x: x + 0.02, params)
     eig_w = model.eigen_decomposition(params2, prev=eig)  # compile
     jax.block_until_ready(eig_w.eigenvalues)
+    _log("warm refresh compiled; timing")
     t0 = time.perf_counter()
     eig_w = model.eigen_decomposition(params2, prev=eig)
     jax.block_until_ready(eig_w.eigenvalues)
     t_warm = time.perf_counter() - t0
+    _log(f"warm refresh {t_warm:.2f}s ({int(eig_w.iterations)} iters); "
+         "accuracy reference solve")
 
     # accuracy of the refreshed eigenvalues vs a fresh host solve
     eig_ref = model.eigen_decomposition(params2, method="arpack")

@@ -25,18 +25,29 @@ def parse_flags(description: str = "diffsound-tpu", defaults: dict = None, argv=
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--config", type=str, default=None, help="Config file")
-    parser.add_argument("-i", "--iter", type=int, default=5000)
-    parser.add_argument("-lr", "--learning-rate", type=float, default=0.01)
+    # Known args default to None so explicitly-passed values are
+    # distinguishable from defaults: precedence is builtin/caller
+    # defaults < --config JSON < explicit CLI (previously the JSON
+    # merge silently clobbered an explicit `--iter`).
+    parser.add_argument("-i", "--iter", type=int, default=None)
+    parser.add_argument("-lr", "--learning-rate", type=float, default=None)
     flags, extra = parser.parse_known_args(argv)
+    cli_explicit = {
+        k: v for k, v in vars(flags).items() if k != "config" and v is not None
+    }
 
+    base = {"iter": 5000, "learning_rate": 0.01}
     if defaults:
-        for k, v in defaults.items():
-            flags.__dict__.setdefault(k, v)
+        base.update(defaults)
+    for k, v in base.items():
+        if flags.__dict__.get(k) is None:
+            flags.__dict__[k] = v
 
     if flags.config is not None:
         with open(flags.config) as f:
             for key, val in json.load(f).items():
                 flags.__dict__[key] = val
+    flags.__dict__.update(cli_explicit)
 
     # `--key value` overrides applied after the JSON merge (values parsed
     # as JSON when possible so numbers/bools round-trip).

@@ -118,3 +118,44 @@ def test_bench_driver_emits_parseable_json_on_outage():
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
     # with a 1s probe the backend can't come up -> explicit error field
     assert rec["value"] is None and "error" in rec
+
+
+class TestParseFlags:
+    """Precedence: builtin/caller defaults < --config JSON < explicit CLI
+    (a JSON config must not clobber an explicitly-passed known arg)."""
+
+    def _cfg(self, tmp_path, body):
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps(body))
+        return str(p)
+
+    def test_cli_beats_config_for_known_args(self, tmp_path):
+        from diffsound_tpu.config import parse_flags
+
+        cfg = self._cfg(tmp_path, {"iter": 500, "learning_rate": 2e-2})
+        flags = parse_flags(argv=["--config", cfg, "--iter", "150"])
+        assert flags.iter == 150          # explicit CLI wins
+        assert flags.learning_rate == 2e-2  # config fills the rest
+
+    def test_config_beats_defaults(self, tmp_path):
+        from diffsound_tpu.config import parse_flags
+
+        cfg = self._cfg(tmp_path, {"iter": 500, "mat": "Ceramic"})
+        flags = parse_flags(argv=["--config", cfg], defaults={"mat": "Steel"})
+        assert flags.iter == 500
+        assert flags.mat == "Ceramic"
+
+    def test_builtin_defaults_when_unset(self):
+        from diffsound_tpu.config import parse_flags
+
+        flags = parse_flags(argv=[], defaults={"mode_num": 32})
+        assert flags.iter == 5000
+        assert flags.learning_rate == 0.01
+        assert flags.mode_num == 32
+
+    def test_extra_arg_overrides_config(self, tmp_path):
+        from diffsound_tpu.config import parse_flags
+
+        cfg = self._cfg(tmp_path, {"dmtet_grid": 64})
+        flags = parse_flags(argv=["--config", cfg, "--dmtet_grid", "32"])
+        assert flags.dmtet_grid == 32

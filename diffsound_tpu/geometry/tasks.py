@@ -155,6 +155,25 @@ class ShapeTaskBase:
             self._loss_cache[key] = jax.jit(loss_core)
         return self._loss_cache[key]
 
+    def _grad_suspect(self):
+        """True when the eigensolve refresh backing the current gradient
+        hit the warm-iteration cap without converging (and without
+        tripping the absolute-residual escalation to a host solve).
+
+        Measured on the grid-64 thickness run
+        (results/r3/thickness_grid64_target0.3_run.txt + _landscape.txt):
+        capped refreshes (240-475 iterations) produce gradients that point
+        UPHILL on an exactly-monotone landscape; one such step at iter ~10
+        reversed the trajectory and Adam's momentum then froze the bins at
+        a stationary point of the parameterization.  Callers skip the
+        optimizer update for these steps instead of consuming the
+        gradient."""
+        return (
+            self.warm is not None
+            and self.warm.last_mode == "warm"
+            and self.warm.last_iterations >= self.warm.max_iters
+        )
+
 
 @dataclass(frozen=True)
 class CoefBins:
@@ -267,11 +286,14 @@ class ThicknessTask(ShapeTaskBase):
         for it in range(iters):
             t0 = _time.perf_counter()
             loss, g = self.step_loss_grad(params, target)
-            updates, opt_state = opt.update(g, opt_state)
-            params = optax.apply_updates(params, updates)
+            skipped = self._grad_suspect()
+            if not skipped:
+                updates, opt_state = opt.update(g, opt_state)
+                params = optax.apply_updates(params, updates)
             coef = float(self.bins.value(params))
             dt = _time.perf_counter() - t0
-            rec = {"iter": it, "loss": float(loss), "coef": coef, "dt": dt}
+            rec = {"iter": it, "loss": float(loss), "coef": coef, "dt": dt,
+                   "skipped": skipped}
             if self.warm is not None:
                 rec["eig_mode"] = self.warm.last_mode
                 rec["eig_iters"] = self.warm.last_iterations
@@ -362,10 +384,13 @@ class MorphingTask(ShapeTaskBase):
         history = []
         for it in range(iters):
             loss, g = self.step_loss_grad(params, target)
-            updates, opt_state = opt.update(g, opt_state)
-            params = optax.apply_updates(params, updates)
+            skipped = self._grad_suspect()
+            if not skipped:
+                updates, opt_state = opt.update(g, opt_state)
+                params = optax.apply_updates(params, updates)
             coef = float(self.bins.value(params))
-            history.append({"iter": it, "loss": float(loss), "coef": coef})
+            history.append({"iter": it, "loss": float(loss), "coef": coef,
+                            "skipped": skipped})
             if verbose:
                 print(f"iter {it}: loss {float(loss):.6f} coef {coef:.4f}")
         return params, history

@@ -172,3 +172,59 @@ def test_thickness_recovery_with_refresh_cadence():
     assert abs(history[-1]["coef"] - target_coef) < abs(
         history[0]["coef"] - target_coef
     )
+
+
+class _CappedWarmStub:
+    """Mimics WarmShapeEigensolver's stats surface: a 'warm' refresh that
+    hit the iteration cap is the measured poison case
+    (results/r3/thickness_grid64_target0.3_run.txt)."""
+
+    def __init__(self):
+        self.last_mode = "warm"
+        self.last_iterations = 0
+        self.max_iters = 240
+        self.total_warm = 0
+        self.total_cold = 0
+
+
+def test_optimize_skips_update_on_capped_refresh(monkeypatch):
+    import jax
+
+    task = ThicknessTask(grid_res=4, scale=1.0, mat="Steel", mode_num=4)
+    task.warm = _CappedWarmStub()
+    p0 = task.bins.init_params(jax.random.PRNGKey(0))
+    coef0 = float(task.bins.value(p0))
+    grad = jax.tree.map(jnp.ones_like, p0)
+    calls = {"n": 0}
+
+    def fake_step(params, target):
+        calls["n"] += 1
+        # capped (suspect) on the 1st and 3rd steps, healthy otherwise
+        task.warm.last_iterations = 480 if calls["n"] % 2 == 1 else 10
+        return jnp.asarray(1.0), grad
+
+    monkeypatch.setattr(task, "step_loss_grad", fake_step)
+    _, hist = task.optimize(jnp.ones(4), iters=4, lr=1e-2, verbose=False)
+
+    assert [h["skipped"] for h in hist] == [True, False, True, False]
+    assert hist[0]["coef"] == pytest.approx(coef0)       # gated: no move
+    assert hist[1]["coef"] != pytest.approx(hist[0]["coef"])  # healthy: moves
+    assert hist[2]["coef"] == pytest.approx(hist[1]["coef"])  # gated again
+
+
+def test_optimize_never_skips_on_cold_or_converged_warm(monkeypatch):
+    import jax
+
+    task = ThicknessTask(grid_res=4, scale=1.0, mat="Steel", mode_num=4)
+    task.warm = _CappedWarmStub()
+    p0 = task.bins.init_params(jax.random.PRNGKey(0))
+    grad = jax.tree.map(jnp.ones_like, p0)
+    modes = iter([("cold", 0), ("warm", 16), ("cold-escalated", 480)])
+
+    def fake_step(params, target):
+        task.warm.last_mode, task.warm.last_iterations = next(modes)
+        return jnp.asarray(1.0), grad
+
+    monkeypatch.setattr(task, "step_loss_grad", fake_step)
+    _, hist = task.optimize(jnp.ones(4), iters=3, lr=1e-2, verbose=False)
+    assert [h["skipped"] for h in hist] == [False, False, False]

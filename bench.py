@@ -152,12 +152,18 @@ def main():
     mu, lam = model.material_lame({})
     _log("assembling scipy matrices (host ops, no device pull)")
     K, M = assembly.assemble_scipy(model.host_ops(), float(mu), float(lam), 1.0)
-    _log("running reference ARPACK solve")
-    t0 = time.perf_counter()
-    vals, vecs = eigsh_shift_invert(K, M, k=mode_num + 6, sigma=20000.0)
-    t_arpack = time.perf_counter() - t0
+    # median of 3 solves: round 3's vs_baseline swung 28x -> 51x purely
+    # from host load on a single-sample ARPACK timing (BENCH_NOTES.md);
+    # the raw per-solve times ride along in the JSON for auditability
+    arpack_times = []
+    for i in range(3):
+        _log(f"running reference ARPACK solve {i + 1}/3")
+        t0 = time.perf_counter()
+        vals, vecs = eigsh_shift_invert(K, M, k=mode_num + 6, sigma=20000.0)
+        arpack_times.append(time.perf_counter() - t0)
+        _log(f"arpack {arpack_times[-1]:.1f}s")
+    t_arpack = float(np.median(arpack_times))
     ref_upper_iters_per_sec = REFRESH / t_arpack
-    _log(f"arpack {t_arpack:.1f}s")
 
     # --- our steady state -------------------------------------------------
     params = model.init_params(jax.random.PRNGKey(0), pretrain=False)
@@ -244,6 +250,8 @@ def main():
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/sec",
                 "vs_baseline": round(iters_per_sec / ref_upper_iters_per_sec, 3),
+                "baseline_arpack_s": round(t_arpack, 2),
+                "baseline_arpack_samples_s": [round(t, 2) for t in arpack_times],
             }
         )
     )

@@ -34,6 +34,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _blackman_harris(n: int) -> np.ndarray:
+    """4-term Blackman-Harris: -92 dB sidelobes (Hann: -31 dB)."""
+    k = np.arange(n)
+    w = 2.0 * np.pi * k / max(n - 1, 1)
+    return (0.35875 - 0.48829 * np.cos(w) + 0.14128 * np.cos(2 * w)
+            - 0.01168 * np.cos(3 * w))
+
+
 def extract_spectral_peaks(
     audio: np.ndarray,
     sr: float,
@@ -41,6 +49,7 @@ def extract_spectral_peaks(
     top_k: int = 32,
     floor_db: float = 80.0,
     weight_power: float = 0.25,
+    window: str = "blackmanharris",
 ):
     """Host-side modal-peak extraction from target audio.
 
@@ -51,30 +60,45 @@ def extract_spectral_peaks(
     magnitudes span ~3 decades between the long-ringing fundamental and
     the heavily Rayleigh-damped top modes, which would reduce the match
     loss to a fundamental-only pull.
+
+    n_fft=None: ONE window spanning the whole signal, zero-padded 2x for
+    peak interpolation — the full-length window is what resolves the
+    near-Nyquist mode crowding of flagship pair 6 (~40-70 Hz separations
+    vs the 4096-window ~30 Hz Hann mainlobe at best).  The window is
+    applied to the SIGNAL length and the padding appended after — round
+    3 windowed after padding, so the signal saw only the rising half of
+    a Hann, whose leakage skirts produced the spurious sidelobe peaks
+    that broke pair 1 (nu 0.035 -> 0.10) under this mode.
+
+    window: "blackmanharris" (default) or "hann".  With floor_db=80 a
+    Hann's -31 dB sidelobes of strong modes pass the peak floor easily;
+    Blackman-Harris puts them at -92 dB, below the floor, at ~2x main-
+    lobe width — the right trade for line spectra (decaying modal sums).
     """
     x = np.atleast_2d(np.asarray(audio, np.float64))  # (A, T)
-    if n_fft is None:
-        # one zero-padded window over the whole signal: resolves
-        # closely-spaced folded modes (fixes flagship pair 6: nu error
-        # 0.055 -> 0.008) but also surfaces sidelobe peaks that
-        # misassign on other spectra (pair 1: nu 0.035 -> 0.10), so the
-        # robust 4096 stays the default; pass n_fft=None explicitly for
-        # crowded near-Nyquist spectra
-        n_fft = min(1 << int(np.ceil(np.log2(2 * x.shape[1]))), 65536)
-    hop = n_fft // 4
-    win = np.hanning(n_fft)
     T = x.shape[1]
-    n_frames = max(1, (T - n_fft) // hop + 1)
+    win_fn = _blackman_harris if window == "blackmanharris" else np.hanning
+    if n_fft is None:
+        win_len = T
+        n_fft = min(1 << int(np.ceil(np.log2(2 * T))), 65536)
+    else:
+        win_len = n_fft
+    hop = win_len // 4
+    win = win_fn(win_len)
+    n_frames = max(1, (T - win_len) // hop + 1)
     acc = np.zeros(n_fft // 2 + 1)
     # average MAGNITUDE spectra over channels and frames — averaging the
     # waveforms instead would let the mics' different modal phases cancel
     # and hide modes (observed risk on the 8-mic real recordings)
     for ch in x:
         for i in range(n_frames):
-            fr = ch[i * hop : i * hop + n_fft]
-            if len(fr) < n_fft:
-                fr = np.pad(fr, (0, n_fft - len(fr)))
-            acc += np.abs(np.fft.rfft(fr * win))
+            fr = ch[i * hop : i * hop + win_len]
+            if len(fr) < win_len:
+                fr = np.pad(fr, (0, win_len - len(fr)))
+            fr = fr * win
+            if n_fft > win_len:
+                fr = np.pad(fr, (0, n_fft - win_len))
+            acc += np.abs(np.fft.rfft(fr))
     mag = acc / (n_frames * x.shape[0])
     logm = 20.0 * np.log10(mag + 1e-12)
     thresh = logm.max() - floor_db
@@ -86,7 +110,11 @@ def extract_spectral_peaks(
     ]
     cand.sort(key=lambda k: -mag[k])
     picked = []
-    min_sep = 2  # bins; modal peaks of a windowed decaying sinusoid
+    # min separation scales with the window mainlobe in PADDED bins:
+    # Blackman-Harris is ~2x wider than Hann, and zero-padding multiplies
+    # the lobe's bin footprint by n_fft / win_len
+    lobe = 4 if window == "blackmanharris" else 2
+    min_sep = max(2, lobe * n_fft // win_len // 2)
     for k in cand:
         if all(abs(k - p) > min_sep for p in picked):
             picked.append(k)

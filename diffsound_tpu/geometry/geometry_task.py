@@ -22,7 +22,7 @@ import optax
 from ..fem import assembly
 from ..fem.material import Material, MatSet, lame_params
 from ..solvers.arpack import eigsh_shift_invert
-from ..solvers.diff_eigs import rayleigh_corrected_eigenvalues
+from ..solvers.diff_eigs import ritz_refined_eigenvalues
 from .dmtet import MarchingTets
 from .grid import load_background_grid
 from .sdf_mlp import SDFGeometry
@@ -158,10 +158,10 @@ class GeometryTask:
             verts_c, tets_c, 1, dtype=self.dtype, tet_mask=tet_mask
         )
         mu, lame_l = self._lame()
-        vals = rayleigh_corrected_eigenvalues(
+        vals = ritz_refined_eigenvalues(
             lambda x: assembly.k_matvec(ops, x, mu, lame_l),
             lambda x: assembly.m_matvec(ops, x, 1.0),
-            lam, U,
+            U,
         )[self.extra_modes :]
         eig_loss = jnp.sqrt(jnp.mean((vals - target) ** 2 / target**2))
         return template + 2e-4 * eig_loss, (template, eig_loss)

@@ -117,7 +117,9 @@ class WarmShapeEigensolver:
         self.total_cold = 0
         self.total_mapped = 0
         self.last_iterations = 0
+        self.last_resid = 0.0  # max residual of the last warm solve
         self.last_mode = "none"
+        self._anchor_requested = False
         self.last_vals = None  # (k,) numpy from the last true solve
         self._solve_cache = {}
         self._store_fn = None
@@ -308,7 +310,7 @@ class WarmShapeEigensolver:
         (vals (k,) numpy, U (3*vpad, k) DEVICE array) — U feeds the
         jitted loss program without leaving the device."""
         vpad = len(comp["keep_idx"])
-        need_cold = self.U_global is None
+        need_cold = self.U_global is None or self._anchor_requested
         if not need_cold and self.reanchor_every:
             need_cold = self.warm_count >= self.reanchor_every
         if not need_cold:
@@ -321,6 +323,8 @@ class WarmShapeEigensolver:
             self.total_cold += 1
             self.last_mode = "cold"
             self.last_iterations = 0
+            self.last_resid = 0.0
+            self._anchor_requested = False
             self.last_vals = np.asarray(vals, np.float64)
             return vals, U
 
@@ -394,6 +398,7 @@ class WarmShapeEigensolver:
             self.total_cold += 1
             self.last_mode = "cold-escalated"
             self.last_iterations = int(iters)
+            self.last_resid = 0.0
             self.last_vals = np.asarray(vals, np.float64)
             return vals, U
         keep_nv = np.asarray(comp["keep_idx"])[: comp["num_verts"]]
@@ -403,5 +408,13 @@ class WarmShapeEigensolver:
         self.total_warm += 1
         self.last_mode = "warm"
         self.last_iterations = int(iters)
+        self.last_resid = float(resid.max())
         self.last_vals = np.asarray(vals, np.float64)
         return self.last_vals, U
+
+    def request_anchor(self):
+        """Force the next solve() to re-anchor on the host — escape hatch
+        for callers whose gradient-quality gate keeps tripping (a capped-
+        but-not-escalated warm basis can stay subtly wrong for many
+        steps; see ThicknessTask.optimize)."""
+        self._anchor_requested = True

@@ -33,6 +33,75 @@ def rayleigh_corrected_eigenvalues(k_fn, m_fn, eigenvalues, eigenvectors):
     return lam + add
 
 
+def ritz_refined_eigenvalues(k_fn, m_fn, eigenvectors, num_modes=None):
+    """Subspace Rayleigh-Ritz eigenvalues, differentiable through
+    k_fn/m_fn — the robust replacement for per-column Rayleigh
+    correction when the detached basis comes from a warm/iterative
+    solver.
+
+    Why: `rayleigh_corrected_eigenvalues` is exact only when each COLUMN
+    of U is an accurate eigenvector.  An iterative f32 solve converged to
+    residual r leaves in-subspace rotation errors of order r / gap, and
+    thin-shell spectra are clustered (tiny gaps), so a basis whose
+    *values* are fine can carry O(1) per-column mixing — measured on the
+    grid-64 thickness task as a SIGN-FLIPPED d(loss)/d(coef) (+2.33
+    exact-basis vs -8.57 warm-basis, results/r4/thickness_warm_grad.txt)
+    that walked the round-3 run uphill on a monotone landscape.
+
+    Fix: project the pencil onto span(U) differentiably (A = U^T K U,
+    B = U^T M U — k x k), solve the small generalized eigenproblem on
+    the DETACHED (A0, B0) for a rotation Y, and return the Rayleigh
+    quotients of the rotated basis:
+
+        theta_i = (y_i^T A y_i) / (y_i^T B y_i),   y_i detached.
+
+    At the evaluation point theta equals the Ritz values of span(U) at
+    the CURRENT operators (2nd-order accurate in the subspace error,
+    and in-subspace rotation error is resolved EXACTLY); the gradient is
+    the subspace-projected derivative y_i^T (dK - theta_i dM) y_i, whose
+    error is gap-protected by the distance to modes OUTSIDE the whole
+    block, not between neighbors inside it.  With an exact basis this
+    reduces to `rayleigh_corrected_eigenvalues` (Y = I).
+
+    The detached rotation also sidesteps eigh's degenerate-pair
+    derivative blowup (1/(theta_i - theta_j) terms): no gradient ever
+    flows through the small eigh.
+
+    k_fn/m_fn: (n, k) -> (n, k) differentiable operators.
+    eigenvectors (n, k): detached solver output (approximately
+    B-orthonormal; any full-rank basis of the subspace works).
+    Returns theta (num_modes or k,) ascending.
+    """
+    from .lobpcg import _chol_inv_t, _sym_eigh
+
+    U = jax.lax.stop_gradient(eigenvectors)
+    ku = k_fn(U)
+    mu_ = m_fn(U)
+    A = U.T @ ku
+    B = U.T @ mu_
+    A = 0.5 * (A + A.T)
+    B = 0.5 * (B + B.T)
+
+    B0 = jax.lax.stop_gradient(B)
+    A0 = jax.lax.stop_gradient(A)
+    # normalize the (≈ identity) B0 diagonal for a well-scaled Cholesky
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(B0), jnp.finfo(B0.dtype).tiny))
+    k = B0.shape[0]
+    eps = jnp.asarray(jnp.finfo(B0.dtype).eps, B0.dtype)
+    Bn = d[:, None] * B0 * d[None, :] + (10.0 * k * eps) * jnp.eye(k, dtype=B0.dtype)
+    Linv_t = _chol_inv_t(Bn)  # inv(chol(Bn)).T, upper triangular
+    C0 = Linv_t.T @ (d[:, None] * A0 * d[None, :]) @ Linv_t
+    _, V = _sym_eigh(0.5 * (C0 + C0.T))
+    Y = jax.lax.stop_gradient(d[:, None] * (Linv_t @ V))  # (k, k)
+
+    num = jnp.sum(Y * (A @ Y), axis=0)
+    den = jnp.sum(Y * (B @ Y), axis=0)
+    theta = num / den
+    if num_modes is not None:
+        theta = theta[:num_modes]
+    return theta
+
+
 def undamped_frequencies(eigenvalues, floor: float = 1e-3):
     """f = sqrt(lambda) / 2 pi (Hz).
 

@@ -122,7 +122,11 @@ def _tri_lower_inv(L):
         colj = jnp.where(idx > j, Lj, 0.0)
         return X - colj[:, None] * Xj[None, :]
 
-    return jax.lax.fori_loop(0, n, body, jnp.eye(n, dtype=L.dtype))
+    # tie the carry to L's varying axes (exactly zero-valued): under
+    # shard_map's vma checker a constant eye would enter the loop
+    # axis-unvarying and exit dp-varying — a type error (cf. p0 in lobpcg)
+    x0 = jnp.eye(n, dtype=L.dtype) + 0.0 * L
+    return jax.lax.fori_loop(0, n, body, x0)
 
 
 def _chol_inv_t(G):

@@ -4,14 +4,11 @@ exercise real collectives without TPU hardware (SURVEY.md section 4)."""
 import os
 import sys
 
-# The environment's sitecustomize registers a TPU (axon) PJRT plugin at
-# interpreter start whenever PALLAS_AXON_POOL_IPS is set.  jax's
-# ``backends()`` then initializes EVERY registered plugin — so the first
-# ``jax.devices('cpu')`` call hangs/fails whenever the TPU relay is down,
-# even under JAX_PLATFORMS=cpu (observed: round-2 outage took the whole
-# CPU test suite down with it).  Registration has already happened by the
-# time this file runs, so the only reliable fix is to re-exec the test
-# process once with the trigger variable removed.
+# The axon-plugin re-exec guard lives in _pytest_boot.py (loaded by
+# pytest.ini addopts BEFORE fd capture starts — exec'ing from here loses
+# all terminal output; see that module's docstring).  This fallback only
+# covers pytest invocations that bypassed pytest.ini (e.g. from another
+# cwd); output loss there beats a relay-outage hang.
 if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
     "_DIFFSOUND_TEST_REEXEC"
 ):

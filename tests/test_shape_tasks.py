@@ -55,6 +55,38 @@ def test_thickness_recovery():
     assert abs(final - target_coef) < abs(init - target_coef)
 
 
+def test_thickness_newton_recovery():
+    """Scalar Gauss-Newton (ShapeTaskBase.newton_optimize): recovers the
+    coefficient to ~bin resolution in a handful of true eigensolves."""
+    verts, faces = icosphere(2, radius=0.42)
+    task = ThicknessTask(
+        grid_res=12, scale=1.0, mat=MAT, mode_num=8, tets_dir="/nonexistent"
+    )
+    task.apply_sdf(verts, faces)
+    target_coef = 0.6
+    target = task.eigenvalues(target_coef)
+    coef, history = task.newton_optimize(
+        np.asarray(target), iters=20, c0=0.45, verbose=False
+    )
+    assert abs(coef - target_coef) < 0.02, history[-5:]
+    assert len(history) < 20  # converged by tol_dc, not budget
+
+
+def test_morphing_newton_recovery():
+    v1, f1 = icosphere(2, radius=0.45)
+    v2, f2 = icosphere(2, radius=0.30)
+    task = MorphingTask(
+        grid_res=12, scale=1.0, mat=MAT, mode_num=6, tets_dir="/nonexistent"
+    )
+    task.apply_sdf2(v1, f1, v2, f2)
+    target_coef = 0.7
+    target = task.eigenvalues(target_coef)
+    coef, history = task.newton_optimize(
+        np.asarray(target), iters=25, c0=0.4, verbose=False
+    )
+    assert abs(coef - target_coef) < 0.05, history[-5:]
+
+
 def test_morphing_recovery_fast():
     """Reduced-scale tier of test_morphing_recovery."""
     v1, f1 = icosphere(2, radius=0.45)
@@ -175,19 +207,27 @@ def test_thickness_recovery_with_refresh_cadence():
 
 
 class _CappedWarmStub:
-    """Mimics WarmShapeEigensolver's stats surface: a 'warm' refresh that
-    hit the iteration cap is the measured poison case
-    (results/r3/thickness_grid64_target0.3_run.txt)."""
+    """Mimics WarmShapeEigensolver's stats surface: a 'warm' refresh whose
+    residual never reached the solver tolerance is the suspect case
+    (the gate is residual-based, not iteration-based — ADVICE round 3:
+    a solve converging exactly at the cap, or an escalation round that
+    recovers, must NOT be gated)."""
 
     def __init__(self):
         self.last_mode = "warm"
         self.last_iterations = 0
+        self.last_resid = 0.0
+        self.tol = 3e-3
         self.max_iters = 240
         self.total_warm = 0
         self.total_cold = 0
+        self.anchor_requests = 0
+
+    def request_anchor(self):
+        self.anchor_requests += 1
 
 
-def test_optimize_skips_update_on_capped_refresh(monkeypatch):
+def test_optimize_skips_update_on_unconverged_refresh(monkeypatch):
     import jax
 
     task = ThicknessTask(grid_res=4, scale=1.0, mat="Steel", mode_num=4)
@@ -199,8 +239,8 @@ def test_optimize_skips_update_on_capped_refresh(monkeypatch):
 
     def fake_step(params, target):
         calls["n"] += 1
-        # capped (suspect) on the 1st and 3rd steps, healthy otherwise
-        task.warm.last_iterations = 480 if calls["n"] % 2 == 1 else 10
+        # unconverged (suspect) on the 1st and 3rd steps, healthy otherwise
+        task.warm.last_resid = 1e-2 if calls["n"] % 2 == 1 else 1e-3
         return jnp.asarray(1.0), grad
 
     monkeypatch.setattr(task, "step_loss_grad", fake_step)
@@ -210,21 +250,50 @@ def test_optimize_skips_update_on_capped_refresh(monkeypatch):
     assert hist[0]["coef"] == pytest.approx(coef0)       # gated: no move
     assert hist[1]["coef"] != pytest.approx(hist[0]["coef"])  # healthy: moves
     assert hist[2]["coef"] == pytest.approx(hist[1]["coef"])  # gated again
+    assert task.warm.anchor_requests == 0  # never 3 consecutive
 
 
-def test_optimize_never_skips_on_cold_or_converged_warm(monkeypatch):
+def test_optimize_never_skips_on_cold_capped_or_converged_warm(monkeypatch):
     import jax
 
     task = ThicknessTask(grid_res=4, scale=1.0, mat="Steel", mode_num=4)
     task.warm = _CappedWarmStub()
     p0 = task.bins.init_params(jax.random.PRNGKey(0))
     grad = jax.tree.map(jnp.ones_like, p0)
-    modes = iter([("cold", 0), ("warm", 16), ("cold-escalated", 480)])
+    # (mode, iterations, resid): a capped-but-converged warm solve and a
+    # recovered escalation round must pass the gate
+    cases = iter([
+        ("cold", 0, 0.0),
+        ("warm", 16, 1e-3),
+        ("warm", 240, 2.9e-3),          # hit cap, converged at the wire
+        ("cold-escalated", 480, 0.0),
+    ])
 
     def fake_step(params, target):
-        task.warm.last_mode, task.warm.last_iterations = next(modes)
+        (task.warm.last_mode, task.warm.last_iterations,
+         task.warm.last_resid) = next(cases)
         return jnp.asarray(1.0), grad
 
     monkeypatch.setattr(task, "step_loss_grad", fake_step)
-    _, hist = task.optimize(jnp.ones(4), iters=3, lr=1e-2, verbose=False)
-    assert [h["skipped"] for h in hist] == [False, False, False]
+    _, hist = task.optimize(jnp.ones(4), iters=4, lr=1e-2, verbose=False)
+    assert [h["skipped"] for h in hist] == [False, False, False, False]
+
+
+def test_optimize_anchors_after_consecutive_suspect_refreshes(monkeypatch):
+    """ADVICE round 3: a basis stuck in the suspect band must not burn the
+    whole budget — after 3 consecutive skips the loop forces a host
+    re-anchor."""
+    import jax
+
+    task = ThicknessTask(grid_res=4, scale=1.0, mat="Steel", mode_num=4)
+    task.warm = _CappedWarmStub()
+    task.warm.last_resid = 1e-2  # permanently suspect
+    p0 = task.bins.init_params(jax.random.PRNGKey(0))
+    grad = jax.tree.map(jnp.ones_like, p0)
+
+    monkeypatch.setattr(
+        task, "step_loss_grad", lambda p, t: (jnp.asarray(1.0), grad)
+    )
+    _, hist = task.optimize(jnp.ones(4), iters=7, lr=1e-2, verbose=False)
+    assert all(h["skipped"] for h in hist)
+    assert task.warm.anchor_requests == 2  # at iters 2 and 5 (0-based)

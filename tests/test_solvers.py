@@ -247,6 +247,99 @@ class TestDifferentiableEigenvalues:
             assert abs(np.asarray(g)[vi, d] - fd) < 1e-5 * gmax
 
 
+class TestRitzRefinedEigenvalues:
+    """ritz_refined_eigenvalues: value + gradient correctness under the
+    warm-basis corruption that broke the round-3 thickness run (in-
+    subspace rotation of clustered columns, results/r4/
+    thickness_warm_grad.txt: per-column gradient -8.57 vs exact +2.33)."""
+
+    def _setup(self):
+        from diffsound_tpu.solvers.diff_eigs import ritz_refined_eigenvalues
+
+        mesh = cube_tet_mesh(2)
+        rng = np.random.default_rng(11)
+        verts0 = jnp.asarray(
+            np.asarray(mesh.vertices) * (1 + 0.05 * rng.standard_normal(3))
+        )
+        tets = jnp.asarray(mesh.tets)
+        density = 2.7
+        mu, lam = lame_params(2.1e7, 0.3)
+        ops = assembly.build_element_ops(verts0, tets, 1, dtype=jnp.float64)
+        K, M = assembly.assemble_scipy(ops, mu, lam, density)
+        vals, vecs = eigsh_shift_invert(K, M, k=12, sigma=100.0)
+        return ritz_refined_eigenvalues, verts0, tets, density, mu, lam, ops, vals, vecs
+
+    def _corrupt(self, vecs, rng):
+        """In-subspace rotation + small out-of-subspace noise: the state a
+        nominally-converged warm f32 solve leaves a clustered basis in."""
+        import scipy.linalg
+
+        k = vecs.shape[1]
+        Q = scipy.linalg.qr(rng.standard_normal((k, k)))[0]
+        U = vecs @ Q
+        U = U + 1e-4 * rng.standard_normal(U.shape) * np.abs(U).max()
+        return U
+
+    def test_values_survive_basis_rotation(self):
+        rrf, verts0, tets, density, mu, lam, ops, vals, vecs = self._setup()
+        rng = np.random.default_rng(5)
+        U = self._corrupt(vecs, rng)
+        theta = rrf(
+            lambda x: assembly.k_matvec(ops, x, mu, lam),
+            lambda x: assembly.m_matvec(ops, x, density),
+            jnp.asarray(U),
+        )
+        # per-column correction on the same rotated basis is garbage;
+        # the Ritz refinement recovers the true eigenvalues
+        np.testing.assert_allclose(
+            np.asarray(theta)[6:], vals[6:], rtol=1e-5
+        )
+
+    def test_exact_basis_reduces_to_rayleigh(self):
+        rrf, verts0, tets, density, mu, lam, ops, vals, vecs = self._setup()
+        theta = rrf(
+            lambda x: assembly.k_matvec(ops, x, mu, lam),
+            lambda x: assembly.m_matvec(ops, x, density),
+            jnp.asarray(vecs),
+        )
+        np.testing.assert_allclose(
+            np.asarray(theta), vals, rtol=1e-8, atol=1e-7 * np.abs(vals).max()
+        )
+
+    def test_vertex_gradient_survives_basis_rotation(self):
+        """The round-3 failure mode: gradient w.r.t. geometry through a
+        rotated basis.  Per-column correction flips signs; the Ritz
+        refinement matches finite differences of the true loss."""
+        rrf, verts0, tets, density, mu, lam, ops, vals, vecs = self._setup()
+        rng = np.random.default_rng(9)
+        U = jnp.asarray(self._corrupt(vecs, rng))
+        tgt = jnp.asarray(vals[6:] * 1.1)
+
+        def loss(verts, basis):
+            ops_v = assembly.build_element_ops(verts, tets, 1, dtype=jnp.float64)
+            th = rrf(
+                lambda x: assembly.k_matvec(ops_v, x, mu, lam),
+                lambda x: assembly.m_matvec(ops_v, x, density),
+                basis,
+            )[6:]
+            return jnp.mean((th - tgt) ** 2 / tgt**2)
+
+        def true_loss(verts):
+            ops_v = assembly.build_element_ops(verts, tets, 1, dtype=jnp.float64)
+            Kv, Mv = assembly.assemble_scipy(ops_v, mu, lam, density)
+            w, _ = eigsh_shift_invert(Kv, Mv, k=12, sigma=100.0)
+            return float(np.mean((w[6:] - np.asarray(tgt)) ** 2 / np.asarray(tgt) ** 2))
+
+        g = jax.grad(loss)(verts0, U)
+        gmax = np.abs(np.asarray(g)).max()
+        for vi, d in [(3, 0), (7, 2), (12, 1)]:
+            h = 1e-6
+            vp = np.array(verts0).copy(); vp[vi, d] += h
+            vm = np.array(verts0).copy(); vm[vi, d] -= h
+            fd = (true_loss(jnp.asarray(vp)) - true_loss(jnp.asarray(vm))) / (2 * h)
+            assert abs(np.asarray(g)[vi, d] - fd) < 2e-3 * gmax, (vi, d)
+
+
 class TestSolverExtras:
     def _pencil(self):
         rng = np.random.default_rng(7)

@@ -82,7 +82,13 @@ def extract_spectral_peaks(
         win_len = T
         n_fft = min(1 << int(np.ceil(np.log2(2 * T))), 65536)
     else:
-        win_len = n_fft
+        # signals shorter than the frame must get a signal-length window
+        # (then zero-pad up to n_fft): padding BEFORE windowing shows the
+        # signal only the rising half of the window, whose leakage skirts
+        # produce spurious sidelobe peaks — the same bug the whole-signal
+        # branch fixed in round 3, re-observed on a 2000-sample test
+        # signal under the 4096 default (test_material_sync_learns_youngs)
+        win_len = min(n_fft, T)
     hop = win_len // 4
     win = win_fn(win_len)
     n_frames = max(1, (T - win_len) // hop + 1)
@@ -134,6 +140,57 @@ def extract_spectral_peaks(
     freqs = np.asarray(freqs)
     weights = np.asarray(weights) ** weight_power
     return freqs, weights / weights.sum()
+
+
+def union_peaks(peak_sets, merge_tol: float = 3e-3):
+    """Merge several (freqs, weights) extractions into one deduplicated
+    peak set: peaks within merge_tol in log-frequency collapse to the
+    weight-averaged position with the MAX weight (each set's weights are
+    already normalized, so max — not sum — keeps a peak seen by every
+    window from triple-counting).  Returns (freqs, weights), weights
+    renormalized."""
+    fs, ws = [], []
+    for f, w in peak_sets:
+        fs.extend(np.asarray(f).tolist())
+        ws.extend(np.asarray(w).tolist())
+    if not fs:
+        return np.zeros((0,)), np.zeros((0,))
+    order = np.argsort(fs)
+    fs = np.asarray(fs)[order]
+    ws = np.asarray(ws)[order]
+    out_f, out_w = [fs[0]], [ws[0]]
+    for f, w in zip(fs[1:], ws[1:]):
+        if np.log(f) - np.log(out_f[-1]) < merge_tol:
+            if w > out_w[-1]:
+                out_f[-1], out_w[-1] = f, w
+        else:
+            out_f.append(f)
+            out_w.append(w)
+    w = np.asarray(out_w)
+    return np.asarray(out_f), w / w.sum()
+
+
+def peak_coverage_score(pred_freqs, peaks, weights, sr: float,
+                        tol: float = 5e-3):
+    """Weighted fraction of peaks matched by a predicted mode within
+    `tol` in log-frequency (predictions Nyquist-folded), minus a small
+    mean-distance tiebreak.
+
+    The arbitration metric for multi-window extraction: a CORRECT
+    material fit lands essentially every real peak at <1e-3 log-distance
+    (the modal model is exact for synthetic targets), while a wrong-
+    basin fit misses whole peaks by >1e-2 — a gap the smooth chamfer
+    score blurs away (measured: the chamfer ranked a nu-0.06-off pair-3
+    fit above the exact one by 0.0512 vs 0.0552; this score separates
+    them decisively).  Host-side numpy, detached."""
+    f = np.asarray(pred_freqs, np.float64)
+    f = np.abs(f - sr * np.round(f / sr))
+    lf = np.log(np.maximum(f, 20.0))
+    lp = np.log(np.maximum(np.asarray(peaks, np.float64), 20.0))
+    w = np.asarray(weights, np.float64)
+    d = np.abs(lp[:, None] - lf[None, :]).min(axis=1)  # per peak
+    matched = d < tol
+    return float(np.sum(w * matched) - np.mean(np.minimum(d, 0.1)))
 
 
 def fold_nyquist(f, sr: float):

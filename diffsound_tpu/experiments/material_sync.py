@@ -342,7 +342,8 @@ class MaterialSyncTask:
         logger: MetricLogger = None,
         seed: int = 0,
         verbose: bool = True,
-        extraction_windows=(4096,),
+        extraction_windows=(("hann", 4096), ("blackmanharris", 4096),
+                            ("blackmanharris", None)),
         **train_kw,
     ) -> dict:
         """Closed-form modal-Newton material fit (models/modal_fit.py)
@@ -353,18 +354,32 @@ class MaterialSyncTask:
         leakage ripple that froze round 2's high-E pairs; see
         benchmarks/diagnostics + results/r3/diag and BENCH_NOTES.
 
-        extraction_windows: peak-extraction n_fft candidates; with more
-        than one, each is fit and the lowest cross-view chamfer wins.
-        Default is the single robust 4096 window: the whole-signal
-        window (None) resolves crowded near-Nyquist spectra (flagship
-        pair 6: nu 0.055 -> 0.008) but misassigns on others (pair 1: nu
-        0.035 -> 0.10), and neither the audio-L1 score (leakage ripple)
-        nor cross-view chamfer (measured near-tie, wrong side) can
-        arbitrate reliably — a known limitation, documented in
-        BENCH_NOTES."""
+        extraction_windows: peak-extraction scheme candidates, each a
+        (window, n_fft) pair (n_fft None = one whole-signal window; a
+        bare int means Blackman-Harris at that n_fft).  Every scheme's
+        peak set is fit independently (cheap: the candidates share the
+        warm eigenbasis) and the tight-tolerance UNION-COVERAGE score
+        (audio.freq_loss.peak_coverage_score against the merged peak set
+        of all schemes) arbitrates.  No single scheme works for all 16
+        flagship pairs (measured, benchmarks/diagnostics/
+        window_arbitration.py): the whole-signal window resolves pair
+        6's near-Nyquist crowding (nu 0.058 -> 0.013) but misassigns
+        pair 1; Blackman-Harris at 4096 fixes pairs 1 and 6 but finds
+        only ~5 peaks on pairs 3/4 and locks 5x off in E; Hann at 4096
+        is near-exact on 3/4 and weak on 6.  Two scores CANNOT
+        arbitrate (measured, benchmarks/diagnostics/arbitration_check
+        .py): the fit's own match weight is normalized per peak set
+        (the catastrophic pair-3 bh fit scored HIGHEST), and the smooth
+        cross-view chamfer near-ties exact vs nu-0.06-off fits (0.0552
+        vs 0.0512, wrong side).  Coverage at 0.5% log-tolerance
+        separates them decisively: a correct synthetic fit lands every
+        real peak at <1e-3 while a wrong-basin fit misses whole peaks
+        by >1e-2."""
         import time as _time
 
-        from ..audio.freq_loss import extract_spectral_peaks, freq_chamfer_loss
+        from ..audio.freq_loss import (
+            extract_spectral_peaks, peak_coverage_score, union_peaks,
+        )
         from ..fem.material import lame_params
         from ..models.modal_fit import ModalNewtonFitter
         from ..solvers.diff_eigs import undamped_frequencies
@@ -376,15 +391,20 @@ class MaterialSyncTask:
         )
         mu0, lam0 = lame_params(init_mat[1] / init_mat[0], init_mat[2])
 
+        schemes = [
+            ("blackmanharris", w) if not isinstance(w, (tuple, list)) else tuple(w)
+            for w in extraction_windows
+        ]
         peak_sets = [
             extract_spectral_peaks(
-                np.asarray(gt_audio), self.sample_rate, n_fft=nfft
+                np.asarray(gt_audio), self.sample_rate, n_fft=nfft, window=win
             )
-            for nfft in extraction_windows
+            for win, nfft in schemes
         ]
+        union_f, union_w = union_peaks(peak_sets)
         fit = None
         eig_carry = None
-        for nfft, (peaks, wts) in zip(extraction_windows, peak_sets):
+        for (win, nfft), (peaks, wts) in zip(schemes, peak_sets):
             fitter = ModalNewtonFitter(
                 model, peaks, wts, self.sample_rate, init_mat[3], init_mat[4]
             )
@@ -397,19 +417,15 @@ class MaterialSyncTask:
                 + cand["mu"] * cache.q_mu + cand["lam"] * cache.q_lam
                 - jnp.asarray(cache.eigenvalues) * cache.q_m
             )[model.extra_modes:]
-            freqs = undamped_frequencies(lams.astype(jnp.float32))
-            cand["score"] = sum(
-                float(freq_chamfer_loss(
-                    freqs, jnp.asarray(pk, jnp.float32),
-                    jnp.asarray(pw, jnp.float32), self.sample_rate,
-                ))
-                for pk, pw in peak_sets
+            freqs = np.asarray(undamped_frequencies(lams.astype(jnp.float32)))
+            cand["score"] = peak_coverage_score(
+                freqs, union_f, union_w, self.sample_rate
             )
             if verbose:
-                print(f"  window {nfft}: E {cand['E']:.4g} nu "
-                      f"{cand['nu']:.4f} cross-view chamfer "
+                print(f"  window {win}@{nfft}: E {cand['E']:.4g} nu "
+                      f"{cand['nu']:.4f} union coverage "
                       f"{cand['score']:.4f}")
-            if fit is None or cand["score"] < fit["score"]:
+            if fit is None or cand["score"] > fit["score"]:
                 fit = cand
         fit_wall = _time.perf_counter() - t0
         if logger:

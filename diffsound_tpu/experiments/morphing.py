@@ -26,7 +26,8 @@ def main(argv=None):
 
     flags = parse_flags(
         "morphing (diffsound-tpu)",
-        defaults={"mode_num": 16, "order": 1, "mat": "Steel"},
+        defaults={"mode_num": 16, "order": 1, "mat": "Steel",
+                  "optimizer": "adam"},
         argv=argv,
     )
     os.makedirs(flags.out_dir, exist_ok=True)
@@ -50,16 +51,24 @@ def main(argv=None):
         target = task.eigenvalues(coef)
         print(f"target coef {coef}: gt vals[:4] = {np.asarray(target)[:4]}")
         t0 = time.perf_counter()
-        params, history = task.optimize(
-            jnp.asarray(target), iters=flags.iter, lr=flags.learning_rate,
-            verbose=True, init_coef=0.5,
-        )
+        if getattr(flags, "optimizer", "adam") == "newton":
+            # scalar Gauss-Newton (tasks.py::newton_optimize)
+            result, history = task.newton_optimize(
+                np.asarray(target), iters=max(flags.iter, 25), c0=0.5,
+                verbose=True,
+            )
+        else:
+            params, history = task.optimize(
+                jnp.asarray(target), iters=flags.iter, lr=flags.learning_rate,
+                verbose=True, init_coef=0.5,
+            )
+            result = history[-1]["coef"]
         wall = time.perf_counter() - t0
-        result = history[-1]["coef"]
         total_error += (result - coef) ** 2 / len(flags.morphing_list)
-        print(f"target:{coef} result:{result} ({flags.iter / wall:.2f} it/s)")
+        its = len(history) / wall
+        print(f"target:{coef} result:{result} ({its:.2f} it/s)")
         with open(result_path, "a") as f:
-            f.write(f"target:{coef} result:{result}\n")
+            f.write(f"target:{coef} result:{result} iters_per_sec:{its:.3f}\n")
     with open(result_path, "a") as f:
         f.write(f"total error:{total_error}\n")
     print(f"total error:{total_error}")

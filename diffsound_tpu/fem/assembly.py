@@ -78,8 +78,19 @@ def inv3x3(A: jax.Array, safe: bool = False):
         axis=-2,
     )
     if safe:
-        tiny = jnp.finfo(A.dtype).tiny * 1e3
-        den = jnp.where(jnp.abs(det) < tiny, 1.0, det)
+        # Guard threshold is 1e-25, NOT finfo(dtype).tiny: the TPU backend
+        # emulates f64 with f32-pair arithmetic, so f64 constants below
+        # the f32 range flush to zero there and a `|det| < 2.2e-305`
+        # comparison silently evaluates False (measured: `0.0 < 1e-100`
+        # -> False on the axon backend, True on real CPU).  With the old
+        # finfo(f64).tiny*1e3 threshold, f64-on-TPU programs never fired
+        # the guard, exactly-degenerate padded tets divided 0/0, and the
+        # NaN scattered into real vertex rows (benchmarks/diagnostics/
+        # thickness_sign_probe.py).  1e-25 is ~10 orders below any real
+        # element determinant and exactly representable in f32, so the
+        # comparison is correct on every backend and dtype.
+        tiny = jnp.asarray(1e-25, A.dtype)
+        den = jnp.where(jnp.abs(det) < tiny, jnp.ones((), A.dtype), det)
         return det, adj / den[..., None, None]
     return det, adj / det[..., None, None]
 

@@ -64,10 +64,7 @@ def _bf16_parts(x, terms: int):
     return parts
 
 
-def precise_einsum(eq: str, A: jax.Array, B: jax.Array, terms: int = 3):
-    """einsum(eq, A, B) with f32-grade accuracy on TPU MXUs."""
-    if A.dtype != jnp.float32 or B.dtype != jnp.float32 or not _use_split():
-        return jnp.einsum(eq, A, B)
+def _split_einsum_raw(eq: str, A: jax.Array, B: jax.Array, terms: int = 3):
     As = _bf16_parts(A, terms)
     Bs = _bf16_parts(B, terms)
     out = None
@@ -78,6 +75,50 @@ def precise_einsum(eq: str, A: jax.Array, B: jax.Array, terms: int = 3):
             p = jnp.einsum(eq, As[i], Bs[j])
             out = p if out is None else out + p
     return out
+
+
+def _adjoint_eqs(eq: str):
+    """(eq_dA, eq_dB) einsum equations for the VJP of einsum(eq, A, B).
+
+    Valid for equations without repeated indices within one operand
+    (every contraction in this codebase).  dA = einsum(eq_dA, g, B),
+    dB = einsum(eq_dB, A, g)."""
+    lhs, out = eq.split("->")
+    a, b = lhs.split(",")
+    return f"{out},{b}->{a}", f"{a},{out}->{b}"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def _split_einsum(eq: str, A: jax.Array, B: jax.Array, terms: int = 3):
+    return _split_einsum_raw(eq, A, B, terms)
+
+
+def _split_einsum_fwd(eq, A, B, terms):
+    return _split_einsum_raw(eq, A, B, terms), (A, B)
+
+
+def _split_einsum_bwd(eq, terms, res, g):
+    # The adjoints are exactly as cancellation-sensitive as the forward
+    # product: a plain bf16 MXU adjoint puts ~3e-3 relative noise on the
+    # very gradients the split forward was built to protect (shape-task
+    # vertex gradients, material-bin gradients).  Split both directions.
+    A, B = res
+    eq_dA, eq_dB = _adjoint_eqs(eq)
+    return (
+        _split_einsum_raw(eq_dA, g, B, terms),
+        _split_einsum_raw(eq_dB, A, g, terms),
+    )
+
+
+_split_einsum.defvjp(_split_einsum_fwd, _split_einsum_bwd)
+
+
+def precise_einsum(eq: str, A: jax.Array, B: jax.Array, terms: int = 3):
+    """einsum(eq, A, B) with f32-grade accuracy on TPU MXUs — in both the
+    forward product and its autodiff adjoints (custom VJP)."""
+    if A.dtype != jnp.float32 or B.dtype != jnp.float32 or not _use_split():
+        return jnp.einsum(eq, A, B)
+    return _split_einsum(eq, A, B, terms)
 
 
 def presplit(x: jax.Array, terms: int = 3):

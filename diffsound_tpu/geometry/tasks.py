@@ -162,27 +162,67 @@ class ShapeTaskBase:
         scalar coefficient (thickness coef / morphing coef)."""
         raise NotImplementedError
 
-    def _coef_vals_jvp(self, c: float, comp, lam, U):
-        """(vals, dvals/dc) of the corrected eigenvalues at coefficient c
-        — ONE forward-mode pass (scalar input), jitted per shape bucket."""
-        key = ("jvp", len(comp["keep_idx"]), comp["tets"].shape[0])
+    def _vals_of_coef(self, c, keep_idx, tets_c, tet_mask, U):
+        """Ritz-refined eigenvalues as a differentiable function of the
+        scalar coefficient (shared body of the jitted programs)."""
+        out = self._march_coef(c)
+        verts_c = out.all_verts[keep_idx]
+        ops = assembly.build_element_ops(
+            verts_c, tets_c, 1, dtype=self.dtype, tet_mask=tet_mask
+        )
+        mu, lame_l = self._lame()
+        return ritz_refined_eigenvalues(
+            lambda x: assembly.k_matvec(ops, x, mu, lame_l),
+            lambda x: assembly.m_matvec(ops, x, 1.0),
+            U,
+        )[self.extra_modes :]
+
+    def _coef_vals(self, c: float, comp, U):
+        """Values only — one jitted program per shape bucket (landscape
+        diagnostics and loss evaluation)."""
+        key = ("vals", len(comp["keep_idx"]), comp["tets"].shape[0])
+        if key not in self._loss_cache:
+            self._loss_cache[key] = jax.jit(self._vals_of_coef)
+        vals = self._loss_cache[key](
+            jnp.asarray(c, self.dtype),
+            jnp.asarray(comp["keep_idx"]),
+            jnp.asarray(comp["tets"]),
+            jnp.asarray(comp["tet_mask"], self.dtype),
+            jnp.asarray(U, self.dtype),
+        )
+        return np.asarray(vals, np.float64)
+
+    def _coef_vals_jac(self, c: float, comp, U):
+        """(vals(c), dvals/dc) by REVERSE-MODE autodiff of the Ritz-value
+        program — batched VJP with a one-hot cotangent per mode.
+
+        At the evaluation point the analytic derivative of the frozen-
+        basis Ritz program IS the exact eigenvalue derivative
+        (Hellmann-Feynman: dtheta_i = y_i^T (dK - theta_i dM) y_i), so
+        autodiff matches the true frozen-topology slope to solver
+        precision.  Central DIFFERENCES of the same program do NOT: the
+        frozen basis carries an O((h dU/dc)^2) curvature error (measured
+        5e-3 relative at h = 2e-4 against re-solved eigenvalues, with
+        |dvert/dc| ~ 16 on the grid-32 shell), which contaminated the FD
+        slope ~1.6x high — benchmarks/diagnostics/thickness_sign_probe
+        .py.  Round 3's autodiff-is-noise diagnosis was itself an
+        artifact of two real bugs since fixed: the degenerate-padded-tet
+        NaN guard (fem.assembly.inv3x3) and bf16 MXU Gram products in
+        ritz_refined_eigenvalues (now precise_matmul, with split-
+        precision custom-VJP adjoints in fem.precision)."""
+        key = ("jac", len(comp["keep_idx"]), comp["tets"].shape[0])
         if key not in self._loss_cache:
 
-            def core(c, keep_idx, tets_c, tet_mask, lam, U):
-                def vals_of(cc):
-                    out = self._march_coef(cc)
-                    verts_c = out.all_verts[keep_idx]
-                    ops = assembly.build_element_ops(
-                        verts_c, tets_c, 1, dtype=self.dtype, tet_mask=tet_mask
-                    )
-                    mu, lame_l = self._lame()
-                    return ritz_refined_eigenvalues(
-                        lambda x: assembly.k_matvec(ops, x, mu, lame_l),
-                        lambda x: assembly.m_matvec(ops, x, 1.0),
-                        U,
-                    )[self.extra_modes :]
-
-                return jax.jvp(vals_of, (c,), (jnp.ones((), c.dtype),))
+            def core(c, keep_idx, tets_c, tet_mask, U):
+                vals, vjp = jax.vjp(
+                    lambda cc: self._vals_of_coef(
+                        cc, keep_idx, tets_c, tet_mask, U
+                    ),
+                    c,
+                )
+                eye = jnp.eye(vals.shape[0], dtype=vals.dtype)
+                dvals = jax.vmap(lambda ct: vjp(ct)[0])(eye)
+                return vals, dvals
 
             self._loss_cache[key] = jax.jit(core)
         vals, dvals = self._loss_cache[key](
@@ -190,7 +230,6 @@ class ShapeTaskBase:
             jnp.asarray(comp["keep_idx"]),
             jnp.asarray(comp["tets"]),
             jnp.asarray(comp["tet_mask"], self.dtype),
-            jnp.asarray(lam, self.dtype),
             jnp.asarray(U, self.dtype),
         )
         return np.asarray(vals, np.float64), np.asarray(dvals, np.float64)
@@ -204,14 +243,15 @@ class ShapeTaskBase:
         The loss is mean(((vals(c) - target)/target)^2) — exactly a
         nonlinear least-squares in ONE variable, the same shape as the
         material problem that models/modal_fit.py solves in closed form.
-        Each iteration: true eigensolve at c (warm device refresh), one
-        forward-mode JVP for dvals/dc, and the exact 1-D Gauss-Newton
-        step dc = -(J.r)/(J.J).  Converges in a handful of iterations
-        where the reference's Adam-on-32-bins walk takes hundreds
+        Each iteration: true eigensolve at c (warm device refresh), the
+        exact reverse-mode Jacobian dvals/dc of the Ritz-value program
+        (Hellmann-Feynman-exact with the refreshed basis, see
+        _coef_vals_jac), and the exact 1-D Gauss-Newton step
+        dc = -(J.r)/(J.J).  Converges in a handful of iterations where
+        the reference's Adam-on-32-bins walk takes hundreds
         (thickness_train.py:42-90) — and, because every step re-solves,
         the loss sequence is trustworthy, so simple backtracking guards
-        against the warm-basis gradient corruption that froze the
-        round-3 Adam run (results/r4/thickness_grad_check.txt).
+        against corrupted steps.
         """
         import time as _time
 
@@ -224,7 +264,7 @@ class ShapeTaskBase:
             out = self._march_coef(jnp.asarray(float(c)))
             comp = MarchingTets.compact(out)
             lam, U = self._eigensolve(out, comp)
-            vals, dvals = self._coef_vals_jvp(c, comp, lam, U)
+            vals, dvals = self._coef_vals_jac(c, comp, U)
             r = (vals - target) / target
             loss = float(np.mean(r**2))
             rec = {"iter": it, "loss": loss, "coef": c,
@@ -233,7 +273,7 @@ class ShapeTaskBase:
                 rec["eig_mode"] = self.warm.last_mode
                 rec["eig_iters"] = self.warm.last_iterations
             if loss > 4.0 * best_loss + 1e-12:
-                # a demonstrably bad step (noisy JVP / remesh jump):
+                # a demonstrably bad step (noisy Jacobian / remesh jump):
                 # retreat halfway toward the best-known point
                 c_new = 0.5 * (c + best_c)
                 rec["retreat"] = True
@@ -253,7 +293,10 @@ class ShapeTaskBase:
                       f"{rec['dt']:.1f}s]", flush=True)
             if callback:
                 callback(it, loss, c)
-            if abs(c_new - c) < tol_dc and not rec.get("retreat"):
+            # converged: a tiny PROPOSED step from a point that is (or
+            # ties) the best seen — a stalled/garbage step must not exit
+            if (abs(c_new - c) < tol_dc and not rec.get("retreat")
+                    and loss <= best_loss * 1.02):
                 c = c_new
                 break
             c = c_new
@@ -347,42 +390,24 @@ class ThicknessTask(ShapeTaskBase):
         vals, _ = self._eigensolve_host(out, comp)
         return vals[self.extra_modes :]
 
-    def _loss_core(self, params, keep_idx, tets_c, tet_mask, lam, U, target):
-        th = self.thickness_value(params)
-        out = self._march(self.sdf, th)
-        verts_c = out.all_verts[keep_idx]
-        ops = assembly.build_element_ops(
-            verts_c, tets_c, 1, dtype=self.dtype, tet_mask=tet_mask
-        )
-        mu, lame_l = self._lame()
-        vals = ritz_refined_eigenvalues(
-            lambda x: assembly.k_matvec(ops, x, mu, lame_l),
-            lambda x: assembly.m_matvec(ops, x, 1.0),
-            U,
-        )[self.extra_modes :]
-        return jnp.mean((vals - target) ** 2 / target**2)
-
     def step_loss_grad(self, params, target):
-        """One iteration's (loss, grad): host march/compact/eigensolve at
-        the current thickness, then the jitted differentiable pass."""
-        th = jnp.asarray(float(self.thickness_value(params)))
-        out = self._march(self.sdf, th)
+        """One iteration's (loss, grad w.r.t. bin logits): host march/
+        compact/eigensolve at the current thickness, exact reverse-mode
+        scalar derivative of the Ritz values (_coef_vals_jac), chained
+        into the 32 bin logits by autodiff of the tiny bins.value."""
+        c = float(self.bins.value(params))
+        out = self._march_coef(jnp.asarray(c))
         comp = MarchingTets.compact(out)
         lam, U = self._eigensolve(out, comp)
 
-        keep_idx = jnp.asarray(comp["keep_idx"])
-        tets_c = jnp.asarray(comp["tets"])
-        tet_mask = jnp.asarray(comp["tet_mask"], self.dtype)
-        lam_j = jnp.asarray(lam, self.dtype)
-        U_j = jnp.asarray(U, self.dtype)
-        tgt = jnp.asarray(target, self.dtype)
-
-        fn = self._loss_fn_for_shapes(
-            len(comp["keep_idx"]),
-            comp["tets"].shape[0],
-            jax.value_and_grad(self._loss_core),
-        )
-        return fn(params, keep_idx, tets_c, tet_mask, lam_j, U_j, tgt)
+        tgt = np.asarray(target, np.float64)
+        vals, dvals = self._coef_vals_jac(c, comp, U)
+        r = (vals - tgt) / tgt
+        loss = float(np.mean(r**2))
+        dldc = float(2.0 * np.mean(r * dvals / tgt))
+        gc = jax.grad(self.bins.value)(params)
+        g = jax.tree.map(lambda x: dldc * x, gc)
+        return jnp.asarray(loss), g
 
     def optimize(self, target, iters: int = 500, lr: float = 2e-2, verbose=True,
                  callback=None):
@@ -463,41 +488,21 @@ class MorphingTask(ShapeTaskBase):
         vals, _ = self._eigensolve_host(out, comp)
         return vals[self.extra_modes :]
 
-    def _loss_core(self, params, keep_idx, tets_c, tet_mask, lam, U, target):
-        c = self.bins.value(params)
-        out = self._march(self.blended_sdf(c), None)
-        verts_c = out.all_verts[keep_idx]
-        ops = assembly.build_element_ops(
-            verts_c, tets_c, 1, dtype=self.dtype, tet_mask=tet_mask
-        )
-        mu, lame_l = self._lame()
-        vals = ritz_refined_eigenvalues(
-            lambda x: assembly.k_matvec(ops, x, mu, lame_l),
-            lambda x: assembly.m_matvec(ops, x, 1.0),
-            U,
-        )[self.extra_modes :]
-        return jnp.mean((vals - target) ** 2 / target**2)
-
     def step_loss_grad(self, params, target):
-        c = jnp.asarray(float(self.bins.value(params)))
-        out = self._march(self.blended_sdf(c), None)
+        """Autodiff-chained (loss, grad) — see ThicknessTask.step_loss_grad."""
+        c = float(self.bins.value(params))
+        out = self._march_coef(jnp.asarray(c))
         comp = MarchingTets.compact(out)
         lam, U = self._eigensolve(out, comp)
 
-        fn = self._loss_fn_for_shapes(
-            len(comp["keep_idx"]),
-            comp["tets"].shape[0],
-            jax.value_and_grad(self._loss_core),
-        )
-        return fn(
-            params,
-            jnp.asarray(comp["keep_idx"]),
-            jnp.asarray(comp["tets"]),
-            jnp.asarray(comp["tet_mask"], self.dtype),
-            jnp.asarray(lam, self.dtype),
-            jnp.asarray(U, self.dtype),
-            jnp.asarray(target, self.dtype),
-        )
+        tgt = np.asarray(target, np.float64)
+        vals, dvals = self._coef_vals_jac(c, comp, U)
+        r = (vals - tgt) / tgt
+        loss = float(np.mean(r**2))
+        dldc = float(2.0 * np.mean(r * dvals / tgt))
+        gc = jax.grad(self.bins.value)(params)
+        g = jax.tree.map(lambda x: dldc * x, gc)
+        return jnp.asarray(loss), g
 
     def optimize(self, target, iters: int = 10, lr: float = 2e-2, verbose=True,
                  init_coef: Optional[float] = None):

@@ -123,20 +123,58 @@ def assign_targets(pred_fd, peaks, pw, sr, match_sigma, lam_from_fd):
     return lam_tgt, w
 
 
-def scale_align(fd, peaks, pw, sr, match_sigma):
-    """Best global frequency scale sqrt(c): see
-    ModalNewtonFitter._scale_align (uniform Lame scaling is exact)."""
+def _scale_scan(fd, peaks, pw, sr, match_sigma, log_range=2.5, n=501):
+    """Score the peak/mode alignment over a grid of global eigenvalue
+    scales c (frequency scale sqrt(c)).  Returns (cs, scores).
+
+    log_range 2.5 covers c in [0.082, 12.2]: the flagship's random
+    material draw spans E in [1e10, 1e11] (material.MatSet.RandomMin/
+    Max), so init/target eigenvalue ratios reach ~10 in either
+    direction.  The old +-1.6 range ([0.2, 5]) could not even represent
+    the correct alignment for extreme pairs — flagship pair 0 (c* =
+    0.177) locked onto a spurious folded match at c = 3.42 and the fit
+    landed 19x high in E (out/r4_material_sync_tpu pair 0)."""
     lp = np.log(np.maximum(peaks, 20.0))
-    best_c, best_score = 1.0, -np.inf
-    for c in np.exp(np.linspace(-1.6, 1.6, 321)):
+    cs = np.exp(np.linspace(-log_range, log_range, n))
+    scores = np.empty(n)
+    for i, c in enumerate(cs):
         f = fd * np.sqrt(c)
         fold = np.abs(f - sr * np.round(f / sr))
         lf = np.log(np.maximum(fold, 20.0))
         dmin = np.min(np.abs(lp[:, None] - lf[None, :]), axis=1)
-        score = float(np.sum(pw * np.exp(-0.5 * (dmin / match_sigma) ** 2)))
-        if score > best_score:
-            best_c, best_score = float(c), score
-    return best_c
+        scores[i] = float(np.sum(pw * np.exp(-0.5 * (dmin / match_sigma) ** 2)))
+    return cs, scores
+
+
+def scale_align(fd, peaks, pw, sr, match_sigma):
+    """Best global frequency scale sqrt(c): see
+    ModalNewtonFitter._scale_align (uniform Lame scaling is exact)."""
+    cs, scores = _scale_scan(fd, peaks, pw, sr, match_sigma)
+    return float(cs[int(np.argmax(scores))])
+
+
+def scale_align_candidates(fd, peaks, pw, sr, match_sigma,
+                           n_cands: int = 3, min_sep: float = 0.2,
+                           rel_floor: float = 0.4):
+    """Top distinct local maxima of the scale-alignment score, best
+    first.  Aliasing folds the spectrum, so several scales can align
+    plausibly (a folded image of the right answer scores close to a
+    wrong un-folded lock-in); the fitter runs the fixed-point iteration
+    from each candidate and keeps the fit with the highest converged
+    match weight.  min_sep: minimum |log c| separation between
+    candidates; rel_floor: discard candidates scoring below this
+    fraction of the best."""
+    cs, scores = _scale_scan(fd, peaks, pw, sr, match_sigma)
+    order = np.argsort(-scores)
+    picked = []
+    for i in order:
+        lc = np.log(cs[i])
+        if all(abs(lc - np.log(cs[j])) > min_sep for j in picked):
+            picked.append(int(i))
+        if len(picked) >= n_cands:
+            break
+    best = scores[picked[0]]
+    return [float(cs[i]) for i in picked if scores[i] >= rel_floor * best]
 
 
 class ModalNewtonFitter:
@@ -199,14 +237,57 @@ class ModalNewtonFitter:
         return scale_align(fd, self.peaks, self.pw, self.sr, self.match_sigma)
 
     def fit(self, mu0: float, lam0_lame: float, rounds: int = 6,
-            eig=None, verbose: bool = False):
+            eig=None, verbose: bool = False, n_scale_candidates: int = 3):
         """Run the fixed-point iteration from Lame (mu0, lam0_lame)
         (density-normalized).  Returns dict with E, nu, mu, lam, history,
-        and the final EigenState (warm-startable downstream)."""
-        import jax.numpy as jnp
+        and the final EigenState (warm-startable downstream).
 
+        The global scale pre-alignment is MULTI-START: aliasing makes
+        several frequency scales align plausibly, and a wrong lock-in
+        converges to a self-consistent wrong answer (flagship pair 0:
+        folded match at c=3.42 scored best in-scan and the fit settled
+        19x high with match weight 0.99 vs the true fit's ~2).  Each
+        candidate scale (scale_align_candidates) runs the full fixed-
+        point iteration — they share the initial eigenbasis, and warm
+        refreshes make extra branches cheap — and the converged fit with
+        the highest total match weight wins."""
         model = self.model
         mu, lam = float(mu0), float(lam0_lame)
+        # initial eigensolve at the unscaled init, shared by every scale
+        # candidate (uniform Lame scaling leaves eigenvectors unchanged)
+        eig = model.eigen_decomposition_at_lame(mu, lam, prev=eig)
+        cache = model.modal_cache(eig)
+        nr = model.extra_modes
+        lam_now = (
+            np.asarray(cache.eigenvalues, np.float64)
+            + mu * np.asarray(cache.q_mu, np.float64)
+            + lam * np.asarray(cache.q_lam, np.float64)
+            - np.asarray(cache.eigenvalues, np.float64)
+            * np.asarray(cache.q_m, np.float64)
+        )
+        fd = self._fd_from_lam(lam_now[nr:])
+        cands = scale_align_candidates(
+            fd, self.peaks, self.pw, self.sr, self.match_sigma,
+            n_cands=n_scale_candidates,
+        )
+        if verbose and (len(cands) > 1 or abs(cands[0] - 1.0) > 1e-3):
+            print(f"  scale pre-alignment candidates: "
+                  f"{[f'{c:.3f}' for c in cands]}")
+        best = None
+        for c in cands:
+            res = self._fit_iterate(mu * c, lam * c, rounds, eig, verbose)
+            if best is None or res["final_match_w"] > best["final_match_w"]:
+                best = res
+            if verbose and len(cands) > 1:
+                print(f"  candidate c={c:.3f}: E {res['E']:.4g} nu "
+                      f"{res['nu']:.4f} match_w {res['final_match_w']:.3f}")
+        return best
+
+    def _fit_iterate(self, mu: float, lam: float, rounds: int, eig,
+                     verbose: bool = False):
+        """The assign/LSQ fixed-point iteration from a concrete start."""
+        model = self.model
+        nr = model.extra_modes
         hist = []
         for r in range(rounds):
             eig = model.eigen_decomposition_at_lame(mu, lam, prev=eig)
@@ -215,18 +296,8 @@ class ModalNewtonFitter:
             q_mu = np.asarray(cache.q_mu, np.float64)
             q_lam = np.asarray(cache.q_lam, np.float64)
             q_m = np.asarray(cache.q_m, np.float64)
-            nr = model.extra_modes
             lam_now = lam0 + mu * q_mu + lam * q_lam - lam0 * q_m
-            lam_el = lam_now[nr:]
-            fd = self._fd_from_lam(lam_el)
-            if r == 0:
-                c = self._scale_align(fd)
-                if verbose and abs(c - 1.0) > 1e-3:
-                    print(f"  scale pre-alignment: c = {c:.4f} "
-                          f"(E x{c:.3f})")
-                mu, lam = mu * c, lam * c
-                lam_el = lam_el * c  # exact under uniform scaling
-                fd = self._fd_from_lam(lam_el)
+            fd = self._fd_from_lam(lam_now[nr:])
             lam_tgt, w = self._assign_targets(fd)
             mu_n, lam_n = modal_lsq_fit(
                 lam0[nr:], q_mu[nr:], q_lam[nr:], q_m[nr:], lam_tgt, w
@@ -255,4 +326,5 @@ class ModalNewtonFitter:
             "mu": mu, "lam": lam,
             "E": E * model.mat.density, "nu": nu,
             "history": hist, "eig": eig,
+            "final_match_w": float(np.median([h["match_w"] for h in tail])),
         }

@@ -72,13 +72,22 @@ def ritz_refined_eigenvalues(k_fn, m_fn, eigenvectors, num_modes=None):
     B-orthonormal; any full-rank basis of the subspace works).
     Returns theta (num_modes or k,) ascending.
     """
+    from ..fem.precision import precise_matmul
     from .lobpcg import _chol_inv_t, _sym_eigh
 
     U = jax.lax.stop_gradient(eigenvectors)
     ku = k_fn(U)
     mu_ = m_fn(U)
-    A = U.T @ ku
-    B = U.T @ mu_
+    # Gram products MUST be precise on TPU: a plain `@` runs on the bf16
+    # MXU, and its ~3e-3 relative error on these maximally-cancelling
+    # quadratic forms both biases the VALUES ~3.5e-3 and buries the
+    # scalar shape derivative (dvals/dc ~ 1e-2 of vals over an optimizer
+    # step) in noise — measured as the sign-flipped thickness gradient
+    # that walked the round-3 grid-64 run uphill (results/r4/
+    # thickness_jvp_bisect.txt vs the exact landscape slope; eager f64
+    # CPU agrees with ARPACK to 1e-12 with precise products).
+    A = precise_matmul(U.T, ku)
+    B = precise_matmul(U.T, mu_)
     A = 0.5 * (A + A.T)
     B = 0.5 * (B + B.T)
 
@@ -90,12 +99,14 @@ def ritz_refined_eigenvalues(k_fn, m_fn, eigenvectors, num_modes=None):
     eps = jnp.asarray(jnp.finfo(B0.dtype).eps, B0.dtype)
     Bn = d[:, None] * B0 * d[None, :] + (10.0 * k * eps) * jnp.eye(k, dtype=B0.dtype)
     Linv_t = _chol_inv_t(Bn)  # inv(chol(Bn)).T, upper triangular
-    C0 = Linv_t.T @ (d[:, None] * A0 * d[None, :]) @ Linv_t
+    C0 = precise_matmul(
+        precise_matmul(Linv_t.T, d[:, None] * A0 * d[None, :]), Linv_t
+    )
     _, V = _sym_eigh(0.5 * (C0 + C0.T))
-    Y = jax.lax.stop_gradient(d[:, None] * (Linv_t @ V))  # (k, k)
+    Y = jax.lax.stop_gradient(d[:, None] * precise_matmul(Linv_t, V))  # (k, k)
 
-    num = jnp.sum(Y * (A @ Y), axis=0)
-    den = jnp.sum(Y * (B @ Y), axis=0)
+    num = jnp.sum(Y * precise_matmul(A, Y), axis=0)
+    den = jnp.sum(Y * precise_matmul(B, Y), axis=0)
     theta = num / den
     if num_modes is not None:
         theta = theta[:num_modes]

@@ -251,6 +251,67 @@ class TestAssembly:
             atol=1e-9,
         )
 
+    def test_masked_degenerate_padding_is_finite_and_inert(self):
+        """Exactly-degenerate padded tets ((0,0,0,0) rows, as produced by
+        MarchingTets.compact bucket padding) must yield FINITE element
+        blocks and contribute nothing to the matvec.
+
+        Regression: this environment's XLA CPU build constant-folds f64
+        scalars through f32, so inv3x3's old `finfo.tiny*1e3` guard
+        threshold flushed to 0 and never fired — degenerate tets divided
+        0/0 and the NaN scattered into REAL vertex 0's operator rows,
+        silently corrupting every padded shape-task gradient (the round-3
+        thickness divergence; benchmarks/diagnostics/
+        thickness_sign_probe.py)."""
+        # the constant-folding bug itself: keep a canary so a regression
+        # (or a new backend with the same behavior) is caught directly
+        zero = jnp.zeros((1,), jnp.float64)
+        assert bool(jnp.all(jnp.abs(zero) < 1e-25)), (
+            "XLA miscompiles comparisons against 1e-25: inv3x3's guard "
+            "threshold must be raised"
+        )
+
+        mesh = cube_tet_mesh(2)
+        mu, lam = lame_params(1e6, 0.25)
+        # bucket-pad exactly like MarchingTets.compact: repeat vertex 0,
+        # (0,0,0,0) tet rows, mask off the pads
+        vpad, tpad = mesh.num_vertices + 7, mesh.num_tets + 5
+        verts_p = np.zeros((vpad, 3))
+        verts_p[: mesh.num_vertices] = mesh.vertices
+        verts_p[mesh.num_vertices:] = mesh.vertices[0]
+        tets_p = np.zeros((tpad, 4), np.int64)
+        tets_p[: mesh.num_tets] = mesh.tets
+        mask = np.zeros(tpad)
+        mask[: mesh.num_tets] = 1.0
+
+        ops_p = assembly.build_element_ops(
+            jnp.asarray(verts_p), jnp.asarray(tets_p), 1,
+            dtype=jnp.float64, tet_mask=jnp.asarray(mask),
+        )
+        for name in ("k_mu", "k_lam", "mass_scale"):
+            assert bool(jnp.isfinite(getattr(ops_p, name)).all()), name
+
+        ops = assembly.build_element_ops(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.tets), 1,
+            dtype=jnp.float64,
+        )
+        rng = np.random.default_rng(3)
+        X = rng.standard_normal((3 * mesh.num_vertices, 2))
+        Xp = np.zeros((3 * vpad, 2))
+        Xp[: 3 * mesh.num_vertices] = X
+        got = np.asarray(assembly.k_matvec(ops_p, jnp.asarray(Xp), mu, lam))
+        want = np.asarray(assembly.k_matvec(ops, jnp.asarray(X), mu, lam))
+        np.testing.assert_allclose(
+            got[: 3 * mesh.num_vertices], want, rtol=1e-9,
+            atol=1e-9 * np.abs(want).max(),
+        )
+        np.testing.assert_allclose(got[3 * mesh.num_vertices:], 0.0, atol=1e-12)
+        gotm = np.asarray(assembly.m_matvec(ops_p, jnp.asarray(Xp), 1.0))
+        wantm = np.asarray(assembly.m_matvec(ops, jnp.asarray(X), 1.0))
+        np.testing.assert_allclose(
+            gotm[: 3 * mesh.num_vertices], wantm, rtol=1e-9, atol=1e-12
+        )
+
     def test_rigid_body_modes_in_kernel(self):
         """K annihilates translations and infinitesimal rotations."""
         mesh = cube_tet_mesh(2).to_high_order(2)

@@ -37,3 +37,34 @@ def test_precise_matmul_f64_passthrough():
     np.testing.assert_allclose(
         np.asarray(precise_matmul(A, B)), np.asarray(A) @ np.asarray(B), rtol=1e-12
     )
+
+
+def test_split_path_values_and_vjp(monkeypatch):
+    """Force the TPU split path on CPU and check BOTH the forward product
+    and the autodiff adjoints against f64.
+
+    Regression: precise_einsum used to rely on JAX's derived adjoints,
+    which on TPU run as plain bf16 MXU matmuls — the gradient side then
+    carries the very ~3e-3 cancellation noise the split forward removes
+    (the round-3 thickness-gradient corruption; the custom VJP splits
+    both directions)."""
+    from diffsound_tpu.fem import precision
+
+    monkeypatch.setattr(precision, "_use_split", lambda: True)
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.standard_normal((40, 12, 12)).astype(np.float32))
+    X = jnp.asarray(rng.standard_normal((40, 12, 5)).astype(np.float32))
+    C = jnp.asarray(rng.standard_normal((40, 12, 5)).astype(np.float32))
+
+    def f(a, x):
+        return jnp.sum(precision.precise_einsum("eij,ejk->eik", a, x) * C)
+
+    val, (gA, gX) = jax.value_and_grad(f, argnums=(0, 1))(A, X)
+
+    A64, X64, C64 = (np.asarray(v, np.float64) for v in (A, X, C))
+    ref = np.sum(np.einsum("eij,ejk->eik", A64, X64) * C64)
+    gA_ref = np.einsum("eik,ejk->eij", C64, X64)
+    gX_ref = np.einsum("eij,eik->ejk", A64, C64)
+    assert abs(float(val) - ref) / abs(ref) < 1e-5
+    assert np.abs(np.asarray(gA) - gA_ref).max() / np.abs(gA_ref).max() < 1e-6
+    assert np.abs(np.asarray(gX) - gX_ref).max() / np.abs(gX_ref).max() < 1e-6

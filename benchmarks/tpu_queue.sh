@@ -1,0 +1,19 @@
+#!/bin/bash
+# Sequential TPU job queue for the single tunneled chip.  Jobs are
+# numbered scripts in benchmarks/tpu_queue.d/; the runner waits for the
+# current TPU holder (PID in /tmp/thickness_pid) to exit, then pops jobs
+# in order.  Drop/remove job files while it runs to reprioritize.
+set -u
+cd /root/repo
+HOLD_PID=$(awk '{print $2}' /tmp/thickness_pid 2>/dev/null || echo "")
+if [ -n "$HOLD_PID" ]; then
+  while kill -0 "$HOLD_PID" 2>/dev/null; do sleep 10; done
+fi
+while true; do
+  job=$(ls benchmarks/tpu_queue.d/*.sh 2>/dev/null | head -1)
+  [ -z "$job" ] && break
+  echo "=== $(date -u +%H:%M:%S) running $job ===" >> results/r4/tpu_queue.log
+  bash "$job" >> results/r4/tpu_queue.log 2>&1
+  rm -f "$job"
+done
+echo "=== $(date -u +%H:%M:%S) queue drained ===" >> results/r4/tpu_queue.log

@@ -77,6 +77,7 @@ def main(argv=None):
                 params, best, hist = task.optimize(
                     params, gt_vals, Q * size, sd,
                     iters=flags.iter, lr=flags.learning_rate,
+                    time_budget_s=getattr(flags, "time_budget_s", None),
                     on_iter=lambda rec: logger.scalar(
                         f"{model_name}_{mode_num}", rec["eig"], rec["iter"]
                     ),

@@ -218,10 +218,17 @@ class GeometryTask:
 
     def optimize(self, params, target, query_points, signed_distance,
                  iters: int = 1000, lr: float = 1e-5, margin: float = 0.0,
-                 verbose: bool = True, on_iter=None):
+                 verbose: bool = True, on_iter=None, time_budget_s=None):
         """on_iter(rec): called per iteration with the metric record —
         stream metrics so a crash/kill keeps the history (same post-
-        mortem as the joint task's round-2 empty evidence files)."""
+        mortem as the joint task's round-2 empty evidence files).
+
+        time_budget_s: optional wall-clock deadline — the loop exits
+        cleanly when exceeded so the caller still gets the best mesh and
+        full history (a hard kill would lose the export)."""
+        import time as _time
+
+        t_start = _time.perf_counter()
         q = jnp.asarray(query_points)
         sd = jnp.asarray(signed_distance)
         tgt = np.asarray(target)
@@ -252,5 +259,11 @@ class GeometryTask:
                         "eig_loss": float(eig_l)}
             if verbose and it % 10 == 0:
                 print(f"iter {it}: loss {float(loss):.6f} "
-                      f"(template {float(tmpl):.6f}, eig {float(eig_l):.6f})")
+                      f"(template {float(tmpl):.6f}, eig {float(eig_l):.6f})",
+                      flush=True)
+            if (time_budget_s is not None
+                    and _time.perf_counter() - t_start > time_budget_s):
+                print(f"iter {it}: time budget {time_budget_s:.0f}s reached "
+                      f"after {it + 1}/{iters} iters; stopping", flush=True)
+                break
         return params, best, history

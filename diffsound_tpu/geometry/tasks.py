@@ -221,7 +221,15 @@ class ShapeTaskBase:
                     c,
                 )
                 eye = jnp.eye(vals.shape[0], dtype=vals.dtype)
-                dvals = jax.vmap(lambda ct: vjp(ct)[0])(eye)
+                # chunked cotangent batch: a full vmap over all k modes
+                # materializes the per-element VJP residuals k-fold —
+                # f32[32, 86016, 12, 38] tiled to 22.5 GB on the grid-64
+                # frog, over the v5e's 16 GB HBM.  lax.map(batch_size=4)
+                # keeps the same program 8x smaller at ~zero cost (the
+                # backward pass is bandwidth-bound either way).
+                dvals = jax.lax.map(
+                    lambda ct: vjp(ct)[0], eye, batch_size=4
+                )
                 return vals, dvals
 
             self._loss_cache[key] = jax.jit(core)

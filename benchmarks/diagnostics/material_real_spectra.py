@@ -48,6 +48,10 @@ def predicted_freqs(mesh, E, nu, mode_num=16):
 def main():
     import jax
 
+    # sitecustomize pins JAX_PLATFORMS=axon before this script runs; the
+    # env var alone does NOT force CPU — the config update does
+    jax.config.update("jax_platforms", "cpu")
+
     from diffsound_tpu.audio.freq_loss import extract_spectral_peaks
     from diffsound_tpu.audio.io import load_real_audio_dir
     from diffsound_tpu.fem.material import MatSet
@@ -89,17 +93,27 @@ def main():
         })
         print(json.dumps(rows[-1]))
 
-    fe = np.array([r["fit_relerr"] for r in rows])
-    te = np.array([r["table_relerr"] for r in rows])
-    wv = np.array([r["weight"] for r in rows])
-    summary = {
-        "fit_relerr_median": round(float(np.median(fe)), 4),
-        "fit_relerr_wmean": round(float((fe * wv).sum() / wv.sum()), 4),
-        "table_relerr_median": round(float(np.median(te)), 4),
-        "table_relerr_wmean": round(float((te * wv).sum() / wv.sum()), 4),
-        "n_peaks": len(rows),
-    }
-    print("# summary " + json.dumps(summary))
+    def summarize(sel, label):
+        fe = np.array([r["fit_relerr"] for r in sel])
+        te = np.array([r["table_relerr"] for r in sel])
+        wv = np.array([r["weight"] for r in sel])
+        summary = {
+            "band": label,
+            "fit_relerr_median": round(float(np.median(fe)), 4),
+            "fit_relerr_wmean": round(float((fe * wv).sum() / wv.sum()), 4),
+            "table_relerr_median": round(float(np.median(te)), 4),
+            "table_relerr_wmean": round(float((te * wv).sum() / wv.sum()), 4),
+            "n_peaks": len(sel),
+        }
+        print("# summary " + json.dumps(summary))
+
+    summarize(rows, "all")
+    # modal band only: peaks below half the first predicted mode are
+    # handling noise / room rumble (the bowl's fundamental is ~1.7 kHz;
+    # the recordings carry 6-350 Hz junk that no mode can match)
+    f_lo = 0.5 * float(min(freqs_fit.min(), freqs_tab.min()))
+    modal = [r for r in rows if r["peak_hz"] >= f_lo]
+    summarize(modal, f">= {f_lo:.0f} Hz (modal band)")
 
 
 if __name__ == "__main__":

@@ -243,6 +243,27 @@ def main():
     wall = time.perf_counter() - t0
     iters_per_sec = EPOCHS / wall
 
+    if os.environ.get("BENCH_VERBOSE"):
+        # diagnostic pass with per-dispatch sync (not the reported number:
+        # the sync points break refresh/step pipelining)
+        t_refresh = t_steps = 0.0
+        for _ in range(CYCLES):
+            ta = time.perf_counter()
+            eig, cache = model.refresh(params, eig)
+            jax.block_until_ready(cache)
+            tb = time.perf_counter()
+            params, opt_state, loss = step(
+                params, opt_state, cache, gt_audio, forces, REFRESH
+            )
+            jax.block_until_ready(loss)
+            t_refresh += tb - ta
+            t_steps += time.perf_counter() - tb
+        _log(
+            f"breakdown (synced): refresh {t_refresh / CYCLES * 1e3:.1f} ms/cycle, "
+            f"{REFRESH}-step scan {t_steps / CYCLES * 1e3:.1f} ms/cycle "
+            f"({t_steps / EPOCHS * 1e3:.2f} ms/step)"
+        )
+
     print(
         json.dumps(
             {

@@ -12,8 +12,8 @@ fi
 while true; do
   job=$(ls benchmarks/tpu_queue.d/*.sh 2>/dev/null | head -1)
   [ -z "$job" ] && break
-  echo "=== $(date -u +%H:%M:%S) running $job ===" >> results/r4/tpu_queue.log
-  bash "$job" >> results/r4/tpu_queue.log 2>&1
+  echo "=== $(date -u +%H:%M:%S) running $job ===" >> results/r5/tpu_queue.log
+  bash "$job" >> results/r5/tpu_queue.log 2>&1
   rm -f "$job"
 done
-echo "=== $(date -u +%H:%M:%S) queue drained ===" >> results/r4/tpu_queue.log
+echo "=== $(date -u +%H:%M:%S) queue drained ===" >> results/r5/tpu_queue.log

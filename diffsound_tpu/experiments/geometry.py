@@ -63,6 +63,7 @@ def main(argv=None):
                 task = GeometryTask(
                     grid_res=flags.grid_res, scale=size,
                     freq_num=flags.freq_num, mode_num=mode_num,
+                    refresh_every=int(getattr(flags, "refresh_every", 1)),
                 )
                 gt_vals = task.gt_eigenvalues_from_mesh(
                     TetMesh(gt_mesh.vertices - center, gt_mesh.tets)

@@ -167,6 +167,10 @@ class GeometryTask:
         return template + 2e-4 * eig_loss, (template, eig_loss)
 
     def step_loss_grad(self, params, target, q, sd, margin=0.0):
+        import time as _time
+
+        timing = {}
+        t0 = _time.perf_counter()
         # detached march runs host-side: pull the (small) params once and
         # keep all bulk outputs on the CPU for compaction
         cpu = jax.devices("cpu")[0]
@@ -175,6 +179,8 @@ class GeometryTask:
         )
         out = self._march_params(params_host)
         comp = MarchingTets.compact(out)
+        timing["march_s"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         k = len(target) + self.extra_modes
         if self.warm is None or k != self.warm.k:
             # host path (also covers the experiment's mode-count sweep,
@@ -198,6 +204,12 @@ class GeometryTask:
                     host_solve=lambda: self._eigensolve_host(out, comp, k),
                 )
 
+        jax.block_until_ready(U)
+        timing["solve_s"] = _time.perf_counter() - t0
+        if self.warm is not None:
+            timing["solve_mode"] = self.warm.last_mode
+            timing["solve_iters"] = self.warm.last_iterations
+        t0 = _time.perf_counter()
         key = (len(comp["keep_idx"]), comp["tets"].shape[0])
         if key not in self._loss_cache:
             self._loss_cache[key] = jax.jit(
@@ -214,7 +226,9 @@ class GeometryTask:
             jnp.asarray(target, self.dtype),
             q, sd, margin,
         )
-        return loss, aux, g, comp, out
+        jax.block_until_ready(loss)
+        timing["loss_grad_s"] = _time.perf_counter() - t0
+        return loss, aux, g, comp, out, timing
 
     def optimize(self, params, target, query_points, signed_distance,
                  iters: int = 1000, lr: float = 1e-5, margin: float = 0.0,
@@ -239,7 +253,7 @@ class GeometryTask:
         history = []
         for it in range(iters):
             try:
-                loss, (tmpl, eig_l), g, comp, out = self.step_loss_grad(
+                loss, (tmpl, eig_l), g, comp, out, timing = self.step_loss_grad(
                     params, tgt, q, sd, margin
                 )
             except Exception as e:  # degenerate meshes crash the solver
@@ -249,6 +263,7 @@ class GeometryTask:
             params = optax.apply_updates(params, updates)
             rec = {"iter": it, "loss": float(loss),
                    "template": float(tmpl), "eig": float(eig_l)}
+            rec.update(timing)
             history.append(rec)
             if on_iter is not None:
                 on_iter(rec)
@@ -259,7 +274,12 @@ class GeometryTask:
                         "eig_loss": float(eig_l)}
             if verbose and it % 10 == 0:
                 print(f"iter {it}: loss {float(loss):.6f} "
-                      f"(template {float(tmpl):.6f}, eig {float(eig_l):.6f})",
+                      f"(template {float(tmpl):.6f}, eig {float(eig_l):.6f}) "
+                      f"[{timing.get('solve_mode', 'host')}/"
+                      f"{timing.get('solve_iters', 0)} "
+                      f"march {timing['march_s']:.2f}s solve "
+                      f"{timing['solve_s']:.2f}s grad "
+                      f"{timing['loss_grad_s']:.2f}s]",
                       flush=True)
             if (time_budget_s is not None
                     and _time.perf_counter() - t_start > time_budget_s):

@@ -242,10 +242,21 @@ class ShapeTaskBase:
         )
         return np.asarray(vals, np.float64), np.asarray(dvals, np.float64)
 
+    def _true_loss(self, c: float, target) -> float:
+        """Full march + eigensolve + Ritz values at c — the trustworthy
+        loss used by newton_optimize's stall probes."""
+        out = self._march_coef(jnp.asarray(float(c)))
+        comp = MarchingTets.compact(out)
+        lam, U = self._eigensolve(out, comp)
+        vals = self._coef_vals(c, comp, U)
+        r = (vals - target) / target
+        return float(np.mean(r**2))
+
     def newton_optimize(self, target, iters: int = 40, c0: float = 0.5,
                         max_step: float = 0.08, c_bounds=(0.02, 0.98),
                         tol_dc: float = 5e-4, verbose: bool = True,
-                        callback=None):
+                        callback=None, loss_floor: float = 1e-4,
+                        probe_step: float = 0.02):
         """Scalar Gauss-Newton on the eigenvalue-matching loss.
 
         The loss is mean(((vals(c) - target)/target)^2) — exactly a
@@ -260,6 +271,19 @@ class ShapeTaskBase:
         (thickness_train.py:42-90) — and, because every step re-solves,
         the loss sequence is trustworthy, so simple backtracking guards
         against corrupted steps.
+
+        Stall rescue (round-4 morphing target 0.2 stopped at 0.26 with
+        loss 0.048 right after a cap-hitting warm refresh,
+        results/r4/morphing_newton_grid64.txt): a near-zero PROPOSED step
+        at loss > loss_floor is not accepted as convergence outright —
+        first, if the backing refresh left a suspect residual
+        (_grad_suspect), the next solve is host re-anchored and the
+        iteration retried; then the TRUE loss is probed at c +- probe_step
+        (frozen-topology autodiff cannot see across marching-tets
+        topology flips, so a Newton-stationary point can sit on a
+        staircase tread while a neighboring tread is strictly better) and
+        the walk continues from an improving probe.  Only when neither
+        rescue finds descent does the stall count as converged.
         """
         import time as _time
 
@@ -267,7 +291,10 @@ class ShapeTaskBase:
         c = float(c0)
         history = []
         best_loss, best_c = np.inf, c
+        rescues = 0
+        visited = set()
         for it in range(iters):
+            visited.add(round(c, 9))
             t0 = _time.perf_counter()
             out = self._march_coef(jnp.asarray(float(c)))
             comp = MarchingTets.compact(out)
@@ -293,6 +320,14 @@ class ShapeTaskBase:
                 dc = float(np.clip(dc, -max_step, max_step))
                 c_new = float(np.clip(c + dc, *c_bounds))
                 rec["dc"] = dc
+                if (round(c_new, 9) in visited
+                        and abs(c_new - c) >= tol_dc):
+                    # cycle break: a clipped step re-proposing a visited
+                    # point oscillates across the minimum when the
+                    # frozen-topology Jacobian under-reads the staircase
+                    # slope (coarse grids) — bisect the hop instead
+                    c_new = 0.5 * (c + c_new)
+                    rec["bisect"] = True
             history.append(rec)
             if verbose:
                 print(f"newton iter {it}: loss {loss:.6f} coef {c:.4f} "
@@ -305,6 +340,33 @@ class ShapeTaskBase:
             # ties) the best seen — a stalled/garbage step must not exit
             if (abs(c_new - c) < tol_dc and not rec.get("retreat")
                     and loss <= best_loss * 1.02):
+                if loss > loss_floor and rescues < 3:
+                    rescues += 1
+                    if self._grad_suspect():
+                        # the Jacobian behind this "stationary" verdict
+                        # rode an unconverged refresh — re-anchor and redo
+                        self.warm.request_anchor()
+                        if verbose:
+                            print(f"newton iter {it}: stalled at loss "
+                                  f"{loss:.6f} on a suspect refresh "
+                                  f"(resid {self.warm.last_resid:.2e}); "
+                                  f"re-anchoring", flush=True)
+                        continue
+                    probes = [
+                        float(np.clip(c + s, *c_bounds))
+                        for s in (probe_step, -probe_step)
+                    ]
+                    probe_losses = [self._true_loss(p, target) for p in probes]
+                    j = int(np.argmin(probe_losses))
+                    if verbose:
+                        print(f"newton iter {it}: stationary at loss "
+                              f"{loss:.6f}; probes "
+                              f"{probes[0]:.4f}:{probe_losses[0]:.6f} "
+                              f"{probes[1]:.4f}:{probe_losses[1]:.6f}",
+                              flush=True)
+                    if probe_losses[j] < 0.98 * loss:
+                        c = probes[j]
+                        continue
                 c = c_new
                 break
             c = c_new

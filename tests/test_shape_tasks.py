@@ -297,3 +297,131 @@ def test_optimize_anchors_after_consecutive_suspect_refreshes(monkeypatch):
     _, hist = task.optimize(jnp.ones(4), iters=7, lr=1e-2, verbose=False)
     assert all(h["skipped"] for h in hist)
     assert task.warm.anchor_requests == 2  # at iters 2 and 5 (0-based)
+
+
+def test_newton_stall_rescue_probes_past_frozen_topology_stationary(monkeypatch):
+    """Round-4 morphing target 0.2 stalled at coef 0.26 / loss 0.048: the
+    frozen-topology Jacobian proposed a ~zero step right after a capped
+    refresh, and newton_optimize accepted it as convergence.  The rescue
+    path must (a) re-anchor when the backing refresh is suspect, then
+    (b) probe the TRUE loss at +-probe_step and continue from an
+    improving probe instead of exiting on a staircase tread."""
+    task = ThicknessTask(grid_res=4, scale=1.0, mat="Steel", mode_num=4)
+    task.warm = _CappedWarmStub()
+
+    # true landscape: quadratic with minimum at 0.2; the stubbed Jacobian
+    # is ZERO at every eval (Newton always proposes dc=0)
+    def true_loss(c):
+        return (c - 0.2) ** 2
+
+    monkeypatch.setattr(task, "_march_coef", lambda c: None)
+    import diffsound_tpu.geometry.dmtet as dmtet_mod
+
+    monkeypatch.setattr(dmtet_mod.MarchingTets, "compact",
+                        staticmethod(lambda out: {"keep_idx": np.zeros(1, np.int64),
+                                                  "tets": np.zeros((1, 4), np.int64),
+                                                  "tet_mask": np.ones(1),
+                                                  "num_verts": 1, "num_tets": 1}))
+    monkeypatch.setattr(task, "_eigensolve", lambda out, comp: (np.ones(4), np.ones((3, 4))))
+    monkeypatch.setattr(
+        task, "_coef_vals_jac",
+        lambda c, comp, U: (np.full(4, 1.0 + np.sqrt(true_loss(c))),
+                            np.zeros(4)),
+    )
+    monkeypatch.setattr(
+        task, "_true_loss", lambda c, target: true_loss(c)
+    )
+
+    target = np.ones(4)
+    # first solve is "suspect" -> expect one re-anchor request, then the
+    # probe walk marches 0.26 -> 0.24 -> 0.22 -> 0.20 (probe_step 0.02)
+    task.warm.last_resid = 1e-2  # suspect at first
+    seen = {"n": 0}
+    orig = task._grad_suspect
+
+    def suspect_once():
+        if seen["n"] == 0:
+            seen["n"] += 1
+            return True
+        return False
+
+    monkeypatch.setattr(task, "_grad_suspect", suspect_once)
+    c, hist = task.newton_optimize(
+        target, iters=20, c0=0.26, verbose=False, probe_step=0.02,
+        loss_floor=1e-6,
+    )
+    assert task.warm.anchor_requests == 1
+    assert c == pytest.approx(0.22, abs=1e-9)  # 2 remaining rescues used
+    # with more rescue budget it would keep walking; the bounded budget
+    # must still leave the result strictly better than the stall point
+    assert true_loss(c) < true_loss(0.26)
+
+
+def test_newton_stall_accepts_genuine_minimum(monkeypatch):
+    """When both probes are worse, the stall is a genuine minimum and the
+    walk must exit there (no infinite rescue loop)."""
+    task = ThicknessTask(grid_res=4, scale=1.0, mat="Steel", mode_num=4)
+    task.warm = _CappedWarmStub()
+
+    def true_loss(c):
+        return 0.05 + (c - 0.26) ** 2  # floor ABOVE loss_floor at c=0.26
+
+    import diffsound_tpu.geometry.dmtet as dmtet_mod
+
+    monkeypatch.setattr(task, "_march_coef", lambda c: None)
+    monkeypatch.setattr(dmtet_mod.MarchingTets, "compact",
+                        staticmethod(lambda out: {"keep_idx": np.zeros(1, np.int64),
+                                                  "tets": np.zeros((1, 4), np.int64),
+                                                  "tet_mask": np.ones(1),
+                                                  "num_verts": 1, "num_tets": 1}))
+    monkeypatch.setattr(task, "_eigensolve", lambda out, comp: (np.ones(4), np.ones((3, 4))))
+    monkeypatch.setattr(
+        task, "_coef_vals_jac",
+        lambda c, comp, U: (np.full(4, 1.0 + np.sqrt(true_loss(c))),
+                            np.zeros(4)),
+    )
+    monkeypatch.setattr(task, "_true_loss", lambda c, target: true_loss(c))
+    monkeypatch.setattr(task, "_grad_suspect", lambda: False)
+
+    c, hist = task.newton_optimize(
+        np.ones(4), iters=20, c0=0.26, verbose=False, probe_step=0.02,
+    )
+    assert c == pytest.approx(0.26, abs=1e-9)
+    assert len(hist) == 1  # the stall iter exits directly, no runaway
+
+
+def test_newton_cycle_break_bisects_oscillation(monkeypatch):
+    """A clipped Newton step that re-proposes an already-visited coef
+    (0.34 <-> 0.42 oscillation across a 0.35 target, seen at grid 12)
+    must bisect the hop instead of ping-ponging forever."""
+    task = ThicknessTask(grid_res=4, scale=1.0, mat="Steel", mode_num=4)
+    task.warm = _CappedWarmStub()
+    task.warm.last_resid = 1e-4  # always healthy
+
+    import diffsound_tpu.geometry.dmtet as dmtet_mod
+
+    monkeypatch.setattr(task, "_march_coef", lambda c: None)
+    monkeypatch.setattr(dmtet_mod.MarchingTets, "compact",
+                        staticmethod(lambda out: {"keep_idx": np.zeros(1, np.int64),
+                                                  "tets": np.zeros((1, 4), np.int64),
+                                                  "tet_mask": np.ones(1),
+                                                  "num_verts": 1, "num_tets": 1}))
+    monkeypatch.setattr(task, "_eigensolve", lambda out, comp: (np.ones(4), np.ones((3, 4))))
+    # vals linear in c with a minute Jacobian: Newton overshoots and clips
+    monkeypatch.setattr(
+        task, "_coef_vals_jac",
+        lambda c, comp, U: (np.full(4, 1.0 + 0.1 * (c - 0.35)),
+                            np.full(4, 0.01)),
+    )
+    monkeypatch.setattr(task, "_true_loss",
+                        lambda c, target: (0.1 * (c - 0.35)) ** 2)
+    monkeypatch.setattr(task, "_grad_suspect", lambda: False)
+
+    c, hist = task.newton_optimize(
+        np.ones(4), iters=6, c0=0.42, max_step=0.08, verbose=False,
+    )
+    coefs = [h["coef"] for h in hist]
+    assert coefs[0] == pytest.approx(0.42)
+    assert coefs[1] == pytest.approx(0.34)   # first clipped hop
+    assert any(h.get("bisect") for h in hist)  # the return hop bisected
+    assert coefs[2] == pytest.approx(0.38)   # midpoint, not 0.42 again

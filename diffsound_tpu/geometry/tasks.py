@@ -370,6 +370,11 @@ class ShapeTaskBase:
                 c = c_new
                 break
             c = c_new
+        if best_loss < np.inf and history and history[-1]["loss"] > best_loss:
+            # budget exhausted mid-walk (rugged coarse-grid landscapes
+            # oscillate): every candidate was truly evaluated, so return
+            # the argmin, not wherever the walk happened to stop
+            c = best_c
         return c, history
 
     def _grad_suspect(self):

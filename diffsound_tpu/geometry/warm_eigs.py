@@ -295,6 +295,43 @@ class WarmShapeEigensolver:
         self.last_mode = "mapped"
         return self.last_vals, U
 
+    def _prep_args(self, out, comp, mu: float, lam: float):
+        """Host-side argument prep shared by solve() and diagnostics:
+        returns (args, (vpad, tpad, D)) where args are the device inputs
+        of _solve_fn AFTER U_global."""
+        vpad = len(comp["keep_idx"])
+        verts_c = np.asarray(out.all_verts)[np.asarray(comp["keep_idx"])]
+        dof_mask = np.zeros(3 * vpad, np.float32)
+        dof_mask[: 3 * comp["num_verts"]] = 1.0
+        # transpose indices from the REAL tets only (padded rows are
+        # all-zero contributions and would inflate vertex 0's valence);
+        # bucket the valence depth so jit specializations stay bounded
+        gidx = assembly.build_gather_transpose(
+            comp["tets"][: comp["num_tets"]], vpad
+        )
+        D = -(-gidx.shape[1] // 16) * 16
+        gidx = np.pad(
+            gidx, ((0, 0), (0, D - gidx.shape[1])),
+            constant_values=4 * comp["num_tets"],
+        )
+        # dummy row index must point at the zero row appended by _scatter:
+        # it is len(flat) = 4 * num_tets for the real-tet layout, but the
+        # padded ye has 4 * tpad rows — remap the dummy to that
+        tpad = comp["tets"].shape[0]
+        gidx = np.where(gidx == 4 * comp["num_tets"], 4 * tpad, gidx)
+        args = (
+            jnp.asarray(np.asarray(comp["keep_idx"])),
+            jnp.asarray(self._keep_store(comp)),
+            jnp.asarray(verts_c, self.dtype),
+            jnp.asarray(comp["tets"]),
+            jnp.asarray(comp["tet_mask"], self.dtype),
+            jnp.asarray(gidx),
+            jnp.asarray(dof_mask, self.dtype),
+            jnp.asarray(mu, self.dtype),
+            jnp.asarray(lam, self.dtype),
+        )
+        return args, (vpad, tpad, D)
+
     # -- public entry --------------------------------------------------------
 
     def solve(
@@ -329,39 +366,10 @@ class WarmShapeEigensolver:
             return vals, U
 
         self._fill_new_slots(out, comp)
-        verts_c = np.asarray(out.all_verts)[np.asarray(comp["keep_idx"])]
-        dof_mask = np.zeros(3 * vpad, np.float32)
-        dof_mask[: 3 * comp["num_verts"]] = 1.0
-        # transpose indices from the REAL tets only (padded rows are
-        # all-zero contributions and would inflate vertex 0's valence);
-        # bucket the valence depth so jit specializations stay bounded
-        gidx = assembly.build_gather_transpose(
-            comp["tets"][: comp["num_tets"]], vpad
-        )
-        D = -(-gidx.shape[1] // 16) * 16
-        gidx = np.pad(
-            gidx, ((0, 0), (0, D - gidx.shape[1])),
-            constant_values=4 * comp["num_tets"],
-        )
-        # dummy row index must point at the zero row appended by _scatter:
-        # it is len(flat) = 4 * num_tets for the real-tet layout, but the
-        # padded ye has 4 * tpad rows — remap the dummy to that
-        tpad = comp["tets"].shape[0]
-        gidx = np.where(gidx == 4 * comp["num_tets"], 4 * tpad, gidx)
+        args, (vpad, tpad, D) = self._prep_args(out, comp, mu, lam)
         reuse1 = self.reuse_products is True or self.reuse_products == "auto"
         fn = self._solve_fn(vpad, tpad, D, reuse1)
-        vals, U, self.U_global, iters, resid = fn(
-            self.U_global,
-            jnp.asarray(np.asarray(comp["keep_idx"])),
-            jnp.asarray(self._keep_store(comp)),
-            jnp.asarray(verts_c, self.dtype),
-            jnp.asarray(comp["tets"]),
-            jnp.asarray(comp["tet_mask"], self.dtype),
-            jnp.asarray(gidx),
-            jnp.asarray(dof_mask, self.dtype),
-            jnp.asarray(mu, self.dtype),
-            jnp.asarray(lam, self.dtype),
-        )
+        vals, U, self.U_global, iters, resid = fn(self.U_global, *args)
         resid = np.asarray(resid)
         # fixed escalation bound: at residual ~3e-2 the Ritz values are
         # still ~1e-3-accurate; beyond it they corrupt the loss landscape
@@ -375,18 +383,7 @@ class WarmShapeEigensolver:
             # ARPACK re-anchor 70-120 s); carried products can't converge
             # long remesh refreshes (rotation drift), recompute can
             fn = self._solve_fn(vpad, tpad, D, False)
-            vals, U, self.U_global, iters2, resid = fn(
-                self.U_global,
-                jnp.asarray(np.asarray(comp["keep_idx"])),
-                jnp.asarray(self._keep_store(comp)),
-                jnp.asarray(verts_c, self.dtype),
-                jnp.asarray(comp["tets"]),
-                jnp.asarray(comp["tet_mask"], self.dtype),
-                jnp.asarray(gidx),
-                jnp.asarray(dof_mask, self.dtype),
-                jnp.asarray(mu, self.dtype),
-                jnp.asarray(lam, self.dtype),
-            )
+            vals, U, self.U_global, iters2, resid = fn(self.U_global, *args)
             iters = iters + iters2
             resid = np.asarray(resid)
         if not np.isfinite(resid).all() or float(resid.max()) > esc:
@@ -403,7 +400,7 @@ class WarmShapeEigensolver:
             return vals, U
         keep_nv = np.asarray(comp["keep_idx"])[: comp["num_verts"]]
         self.seen[keep_nv] = True
-        self.slot_pos[keep_nv] = verts_c[: comp["num_verts"]]
+        self.slot_pos[keep_nv] = np.asarray(out.all_verts)[keep_nv]
         self.warm_count += 1
         self.total_warm += 1
         self.last_mode = "warm"

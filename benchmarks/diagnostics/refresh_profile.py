@@ -37,11 +37,9 @@ def timed(fn, *args, reps=5):
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_diffsound")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from diffsound_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -58,30 +56,22 @@ def main():
 
     out = task._march_coef(jnp.asarray(0.5))
     comp = MarchingTets.compact(out)
-    vpad = len(comp["keep_idx"])
-    tpad = comp["tets"].shape[0]
     kg = task.warm.kg
     dtype = jnp.float32
     mu, lam = task._lame()
 
-    verts_c = np.asarray(out.all_verts)[np.asarray(comp["keep_idx"])]
-    dof_mask = np.zeros(3 * vpad, np.float32)
-    dof_mask[: 3 * comp["num_verts"]] = 1.0
-    gidx = assembly.build_gather_transpose(
-        comp["tets"][: comp["num_tets"]], vpad
+    # the production refresh operator, via the same prep solve() uses
+    args, (vpad, tpad, D) = task.warm._prep_args(
+        out, comp, float(mu), float(lam)
     )
-    D = -(-gidx.shape[1] // 16) * 16
-    gidx = np.pad(gidx, ((0, 0), (0, D - gidx.shape[1])),
-                  constant_values=4 * comp["num_tets"])
-    gidx = np.where(gidx == 4 * comp["num_tets"], 4 * tpad, gidx)
+    (_, _, verts_dev, tets_dev, tet_mask_dev, gidx_dev, dmask,
+     mu_dev, lam_dev) = args
 
     ops = assembly.build_element_ops(
-        jnp.asarray(verts_c, dtype), jnp.asarray(comp["tets"]), 1,
-        dtype=dtype, tet_mask=jnp.asarray(comp["tet_mask"], dtype),
+        verts_dev, tets_dev, 1, dtype=dtype, tet_mask=tet_mask_dev,
     )
-    ops = ops._replace(gather_idx=jnp.asarray(gidx))
+    ops = ops._replace(gather_idx=gidx_dev)
     d = assembly.k_diag(ops, mu, lam)
-    dmask = jnp.asarray(dof_mask)
     d = jnp.where(dmask > 0, d, 1.0)
     dsc = jax.lax.rsqrt(jnp.maximum(d, jnp.finfo(dtype).tiny))
     fz = assembly.freeze_stiffness(ops, mu, lam)

@@ -31,11 +31,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_diffsound")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from diffsound_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

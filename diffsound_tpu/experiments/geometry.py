@@ -75,13 +75,23 @@ def main(argv=None):
                 )
                 print("optimizing against eigenvalues")
                 # metrics streamed per iteration (a kill keeps the history)
+                def _stream(rec, tag=f"{model_name}_{mode_num}"):
+                    # eig scalar under the reference's tag (parity:
+                    # geometry_train.py:241) + every numeric per-phase
+                    # field (march_s/solve_s/loss_grad_s/solve_iters)
+                    logger.scalar(tag, rec["eig"], rec["iter"])
+                    logger.scalars(
+                        {f"{tag}/{k}": v for k, v in rec.items()
+                         if k not in ("iter", "eig")
+                         and isinstance(v, (int, float))},
+                        rec["iter"],
+                    )
+
                 params, best, hist = task.optimize(
                     params, gt_vals, Q * size, sd,
                     iters=flags.iter, lr=flags.learning_rate,
                     time_budget_s=getattr(flags, "time_budget_s", None),
-                    on_iter=lambda rec: logger.scalar(
-                        f"{model_name}_{mode_num}", rec["eig"], rec["iter"]
-                    ),
+                    on_iter=_stream,
                 )
                 if best.get("verts") is not None:
                     TetMesh(best["verts"], best["tets"]).export(

@@ -182,7 +182,8 @@ class GeometryTask:
         timing["march_s"] = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         k = len(target) + self.extra_modes
-        if self.warm is None or k != self.warm.k:
+        host_path = self.warm is None or k != self.warm.k
+        if host_path:
             # host path (also covers the experiment's mode-count sweep,
             # where k differs from the warm solver's fixed basis width)
             lam, U = self._eigensolve_host(out, comp, k)
@@ -206,7 +207,10 @@ class GeometryTask:
 
         jax.block_until_ready(U)
         timing["solve_s"] = _time.perf_counter() - t0
-        if self.warm is not None:
+        if host_path:
+            timing["solve_mode"] = "host"
+            timing["solve_iters"] = 0
+        else:
             timing["solve_mode"] = self.warm.last_mode
             timing["solve_iters"] = self.warm.last_iterations
         t0 = _time.perf_counter()

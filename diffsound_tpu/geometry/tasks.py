@@ -244,9 +244,13 @@ class ShapeTaskBase:
 
     def _true_loss(self, c: float, target) -> float:
         """Full march + eigensolve + Ritz values at c — the trustworthy
-        loss used by newton_optimize's stall probes."""
+        loss used by newton_optimize's stall probes.  Forces a TRUE
+        eigensolve even under a refresh_every>1 cadence: a map_only probe
+        would carry exactly the frozen-basis blindness the probe exists
+        to bypass."""
         out = self._march_coef(jnp.asarray(float(c)))
         comp = MarchingTets.compact(out)
+        self._steps_since_refresh = self.refresh_every
         lam, U = self._eigensolve(out, comp)
         vals = self._coef_vals(c, comp, U)
         r = (vals - target) / target
@@ -352,29 +356,36 @@ class ShapeTaskBase:
                                   f"(resid {self.warm.last_resid:.2e}); "
                                   f"re-anchoring", flush=True)
                         continue
-                    probes = [
-                        float(np.clip(c + s, *c_bounds))
-                        for s in (probe_step, -probe_step)
-                    ]
+                    cand = [float(np.clip(c + s, *c_bounds))
+                            for s in (probe_step, -probe_step)]
+                    # a probe clipped onto c itself would re-solve the
+                    # current point for nothing (bound-hugging walks)
+                    probes = sorted({p for p in cand if abs(p - c) > 1e-9})
+                    if not probes:
+                        c = c_new
+                        break
                     probe_losses = [self._true_loss(p, target) for p in probes]
                     j = int(np.argmin(probe_losses))
                     if verbose:
+                        desc = " ".join(
+                            f"{p:.4f}:{pl:.6f}"
+                            for p, pl in zip(probes, probe_losses)
+                        )
                         print(f"newton iter {it}: stationary at loss "
-                              f"{loss:.6f}; probes "
-                              f"{probes[0]:.4f}:{probe_losses[0]:.6f} "
-                              f"{probes[1]:.4f}:{probe_losses[1]:.6f}",
-                              flush=True)
+                              f"{loss:.6f}; probes {desc}", flush=True)
                     if probe_losses[j] < 0.98 * loss:
                         c = probes[j]
                         continue
                 c = c_new
                 break
             c = c_new
-        if best_loss < np.inf and history and history[-1]["loss"] > best_loss:
-            # budget exhausted mid-walk (rugged coarse-grid landscapes
-            # oscillate): every candidate was truly evaluated, so return
-            # the argmin, not wherever the walk happened to stop
-            c = best_c
+        else:
+            # budget exhausted mid-walk: the final c is an UNEVALUATED
+            # proposal (up to max_step away) and rugged coarse-grid
+            # landscapes oscillate — return the argmin over the points
+            # that were actually eigensolved
+            if best_loss < np.inf:
+                c = best_c
         return c, history
 
     def _grad_suspect(self):

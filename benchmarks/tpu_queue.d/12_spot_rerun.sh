@@ -4,8 +4,8 @@
 # finding #1).  Dedicated spot run with a sound budget.
 cd /root/repo
 mkdir -p out/r5_geometry_spot
-timeout 5400 python -m diffsound_tpu.experiments.geometry \
+timeout 3300 python -m diffsound_tpu.experiments.geometry \
   --config configs/geometry_train.json --out_dir out/r5_geometry_spot/ \
-  --mesh_name_list '["spot"]' --time_budget_s 3300 \
+  --mesh_name_list '["spot"]' --time_budget_s 1800 \
   > results/r5/geometry_grid32_spot.txt 2>&1
 cp out/r5_geometry_spot/16/metrics.jsonl results/r5/geometry_spot_metrics.jsonl 2>/dev/null

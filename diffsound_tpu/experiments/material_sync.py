@@ -622,9 +622,10 @@ def main(argv=None):
                 f"material:{i}\nyoungs:{res['youngs']}\npoisson:{res['poisson']}\n"
                 f"target youngs:{gt_mat[1]}\ntarget poisson:{gt_mat[2]}\n"
                 f"RMSE:{res['rmse']}\niters_per_sec:{res['iters_per_sec']:.3f}\n"
+                f"wall_s:{res.get('wall_s', float('nan')):.1f}\n"
             )
         print(f"  -> recovered E={res['youngs']:.4g} nu={res['poisson']:.4f} "
-              f"({res['iters_per_sec']:.2f} it/s)")
+              f"({res['iters_per_sec']:.2f} it/s, {res.get('wall_s', 0):.0f}s)")
 
 
 if __name__ == "__main__":

@@ -64,6 +64,7 @@ class WarmShapeEigensolver:
         min_overlap: float = 0.6,
         reuse_products="auto",
         guards: int = 8,
+        escalation_body: str = "recompute",
     ):
         """num_global_slots: V + Eg of the background grid (rows of
         MarchingOutput.all_verts).  k: modes incl. the rigid block.
@@ -103,6 +104,14 @@ class WarmShapeEigensolver:
         # per iteration) and lets the existing residual-escalation rounds
         # use the robust recompute body for remesh jumps.
         self.reuse_products = reuse_products
+        # the body used by the in-solver escalation round when the first
+        # (carried-products) round caps above the escalation bound:
+        # "recompute" (default, robust) or "reuse" — re-entering the
+        # solve rebuilds the carried products from the current basis, so
+        # rotation drift resets each round while the body stays the
+        # cheap 2m-column one (A/B data: benchmarks/diagnostics/
+        # warm_policy_probe.py)
+        self.escalation_body = escalation_body
 
         self.U_global = None  # device (slots + 1, 3, k); row slots = dump
         self.seen = np.zeros(num_global_slots, bool)
@@ -382,7 +391,7 @@ class WarmShapeEigensolver:
             # (a second device round costs max_iters * ~0.2 s, a host
             # ARPACK re-anchor 70-120 s); carried products can't converge
             # long remesh refreshes (rotation drift), recompute can
-            fn = self._solve_fn(vpad, tpad, D, False)
+            fn = self._solve_fn(vpad, tpad, D, self.escalation_body == "reuse")
             vals, U, self.U_global, iters2, resid = fn(self.U_global, *args)
             iters = iters + iters2
             resid = np.asarray(resid)

@@ -425,3 +425,42 @@ def test_newton_cycle_break_bisects_oscillation(monkeypatch):
     assert coefs[1] == pytest.approx(0.34)   # first clipped hop
     assert any(h.get("bisect") for h in hist)  # the return hop bisected
     assert coefs[2] == pytest.approx(0.38)   # midpoint, not 0.42 again
+
+
+def test_warm_escalation_reuse_body_matches_host():
+    """escalation_body='reuse': a large coef jump whose first carried-
+    products round caps must still converge through reuse-body
+    escalation rounds (products rebuilt at re-entry) and agree with a
+    fresh host solve."""
+    from diffsound_tpu.geometry.dmtet import MarchingTets
+
+    verts, faces = icosphere(2, radius=0.42)
+    task = ThicknessTask(
+        grid_res=12, scale=1.0, mat=MAT, mode_num=8, tets_dir="/nonexistent",
+    )
+    task.warm.escalation_body = "reuse"
+    task.warm.max_iters = 60  # force the first round to cap on the jump
+    task.apply_sdf(verts, faces)
+
+    out = task._march(task.sdf, jnp.asarray(0.55 * task.max_thickness))
+    comp = MarchingTets.compact(out)
+    task._eigensolve(out, comp)  # cold anchor
+    assert task.warm.last_mode == "cold"
+
+    out2 = task._march(task.sdf, jnp.asarray(0.30 * task.max_thickness))
+    comp2 = MarchingTets.compact(out2)
+    vals, U = task._eigensolve(out2, comp2)
+    ref_vals, _ = task._eigensolve_host(out2, comp2)
+    rel = np.abs(vals[6:] - ref_vals[6:]) / np.abs(ref_vals[6:])
+    # the contract: either the escalation converged (accurate values), or
+    # the accepted-but-unconverged residual is RECORDED so callers'
+    # _grad_suspect gate fires; silent wrong eigenvalues are the failure
+    if task.warm.last_mode == "warm" and task.warm.last_resid <= task.warm.tol:
+        assert rel.max() < 2e-4, (task.warm.last_mode, rel.max())
+    elif task.warm.last_mode == "warm":
+        assert task.warm.last_resid > task.warm.tol  # suspect band, gated
+        assert rel.max() < 5e-2  # still inside the escalation bound's
+        # documented value-accuracy envelope (~1e-3 at resid 3e-2)
+    else:
+        assert task.warm.last_mode == "cold-escalated"
+        assert rel.max() < 2e-4

@@ -1,13 +1,15 @@
 #!/bin/bash
 # Sequential TPU job queue for the single tunneled chip.  Jobs are
-# numbered scripts in benchmarks/tpu_queue.d/; the runner waits for the
-# current TPU holder (PID in /tmp/thickness_pid) to exit, then pops jobs
-# in order.  Drop/remove job files while it runs to reprioritize.
+# numbered scripts in benchmarks/tpu_queue.d/; popped in order.
 #
-# Relay-aware (round-3 outages burned whole job timeouts against a dead
-# backend): before popping each job, probe the backend in a bounded
-# subprocess and wait it out if the tunnel is down — the probe retries
-# every 2 min WITHOUT consuming the job.
+# Relay-aware, twice over:
+#  * probe the backend in a bounded subprocess before popping a job
+#    (round-3 outages burned whole job timeouts against a dead backend);
+#  * watchdog each job: the relay can wedge an in-flight RPC forever
+#    (epoll wait, zero CPU, no timeout client-side — observed twice on
+#    2026-08-20); if the job's newest output under results/r5 goes
+#    stale for >20 min AND the job subtree burns no CPU, kill the
+#    subtree and retry the job ONCE.
 set -u
 cd /root/repo
 HOLD_PID=$(awk '{print $2}' /tmp/thickness_pid 2>/dev/null || echo "")
@@ -17,6 +19,42 @@ fi
 probe_ok() {
   timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready(); print('PROBE_OK')" 2>/dev/null | grep -q PROBE_OK
 }
+subtree_cpu() {  # total utime+stime ticks of a process group
+  local pgid=$1 total=0 st
+  for p in $(ps -eo pid=,pgid= | awk -v g="$pgid" '$2==g{print $1}'); do
+    st=$(awk '{print $14+$15}' /proc/$p/stat 2>/dev/null) || continue
+    total=$((total + ${st:-0}))
+  done
+  echo $total
+}
+run_job() {  # returns 0 normally, 9 if watchdog killed it
+  local job=$1
+  setsid bash "$job" >> results/r5/tpu_queue.log 2>&1 &
+  local jpid=$!
+  local pgid
+  pgid=$(ps -o pgid= -p $jpid | tr -d ' ')
+  local stale=0 last_cpu=0 cpu
+  while kill -0 $jpid 2>/dev/null; do
+    sleep 60
+    kill -0 $jpid 2>/dev/null || break
+    cpu=$(subtree_cpu $pgid)
+    if [ "$cpu" -le "$((last_cpu + 100))" ]; then  # <1s CPU/min: idle
+      stale=$((stale + 1))
+    else
+      stale=0
+    fi
+    last_cpu=$cpu
+    if [ $stale -ge 20 ]; then
+      echo "=== $(date -u +%H:%M:%S) watchdog: $job wedged (no CPU 20 min); killing pgid $pgid ===" >> results/r5/tpu_queue.log
+      kill -- -$pgid 2>/dev/null
+      sleep 5
+      kill -9 -- -$pgid 2>/dev/null
+      return 9
+    fi
+  done
+  wait $jpid 2>/dev/null
+  return 0
+}
 while true; do
   job=$(ls benchmarks/tpu_queue.d/*.sh 2>/dev/null | head -1)
   [ -z "$job" ] && break
@@ -25,7 +63,11 @@ while true; do
     sleep 120
   done
   echo "=== $(date -u +%H:%M:%S) running $job ===" >> results/r5/tpu_queue.log
-  bash "$job" >> results/r5/tpu_queue.log 2>&1
+  if ! run_job "$job"; then
+    echo "=== $(date -u +%H:%M:%S) retrying $job once ===" >> results/r5/tpu_queue.log
+    until probe_ok; do sleep 120; done
+    run_job "$job" || true
+  fi
   rm -f "$job"
 done
 echo "=== $(date -u +%H:%M:%S) queue drained ===" >> results/r5/tpu_queue.log

@@ -59,8 +59,13 @@ class MarchingTets:
         # while accelerator jit programs capture these as compile-time
         # constants and transfer them once
         cpu = jax.devices("cpu")[0]
+        # numpy -> CPU device DIRECTLY: `jnp.asarray` first materializes
+        # on the DEFAULT device (the tunneled TPU), so the old
+        # device_put(jnp.asarray(a), cpu) did a multi-MB TPU round trip
+        # per table at every task init — observed wedging forever when
+        # the relay dropped the in-flight transfer (2026-08-20, spot)
         put = lambda a, dt=None: jax.device_put(
-            jnp.asarray(a, dt) if dt else jnp.asarray(a), cpu
+            np.asarray(a, dt) if dt else np.asarray(a), cpu
         )
         self._edges_j = put(self.unique_edges, jnp.int32)
         self._tets_j = put(self.grid_tets, jnp.int32)

@@ -55,7 +55,8 @@ class SplitSDFGeometry:
     def __init__(self, grid_verts: np.ndarray, grid_res: int, scale: float = 1.0,
                  freq_num: int = 4, hidden_dim: int = 256, layer_num: int = 3,
                  z_threshold: float = -0.2):
-        self.verts = jax.device_put(jnp.asarray(grid_verts), jax.devices("cpu")[0])
+        # numpy -> CPU directly (jnp.asarray would hop via the TPU)
+        self.verts = jax.device_put(np.asarray(grid_verts), jax.devices("cpu")[0])
         self.grid_res = grid_res
         self.scale = scale
         self.z_threshold = z_threshold

@@ -52,8 +52,10 @@ class SDFGeometry:
                  freq_num: int = 1, hidden_dim: int = 512, layer_num: int = 3):
         # CPU-committed: host-side detached passes read these; accelerator
         # jits capture them as constants
+        # numpy -> CPU directly (jnp.asarray would hop via the default
+        # TPU device; see geometry/dmtet.py MarchingTets.__init__)
         self.verts = jax.device_put(
-            jnp.asarray(grid_verts), jax.devices("cpu")[0]
+            np.asarray(grid_verts), jax.devices("cpu")[0]
         )
         self.grid_res = grid_res
         self.scale = scale

@@ -66,9 +66,9 @@ class ShapeTaskBase:
         verts, tets = load_background_grid(grid_res, **kw)
         self.grid_verts = verts.astype(np.float64) * scale
         self.marching = MarchingTets(self.grid_verts, tets)
-        self.pos = jax.device_put(
-            jnp.asarray(self.grid_verts), jax.devices("cpu")[0]
-        )
+        # numpy -> CPU directly (jnp.asarray would hop via the TPU;
+        # see geometry/dmtet.py MarchingTets.__init__)
+        self.pos = jax.device_put(self.grid_verts, jax.devices("cpu")[0])
         self.mat = Material.of(mat)
         self.mode_num = mode_num
         self.order = order
@@ -458,7 +458,7 @@ class ThicknessTask(ShapeTaskBase):
 
     def apply_sdf(self, mesh_verts, mesh_faces):
         sd = mesh_signed_distance(self.grid_verts, mesh_verts, mesh_faces)
-        self.sdf = jax.device_put(jnp.asarray(sd), jax.devices("cpu")[0])
+        self.sdf = jax.device_put(np.asarray(sd), jax.devices("cpu")[0])
         self.max_thickness = float(sd.max())
 
     def thickness_value(self, params):

@@ -62,10 +62,16 @@ while true; do
     echo "=== $(date -u +%H:%M:%S) backend down; holding $job ===" >> results/r5/tpu_queue.log
     sleep 120
   done
+  # settle after the probe client tears down: three jobs in a row wedged
+  # at client init when launched within seconds of a probe (epoll-parked
+  # forever); jobs launched without an immediately-preceding probe never
+  # did (2026-08-20, 10:58/11:09/11:22 UTC)
+  sleep 30
   echo "=== $(date -u +%H:%M:%S) running $job ===" >> results/r5/tpu_queue.log
   if ! run_job "$job"; then
     echo "=== $(date -u +%H:%M:%S) retrying $job once ===" >> results/r5/tpu_queue.log
     until probe_ok; do sleep 120; done
+    sleep 30
     run_job "$job" || true
   fi
   rm -f "$job"

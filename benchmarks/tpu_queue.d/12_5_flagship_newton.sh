@@ -1,5 +1,5 @@
 #!/bin/bash
-# VERDICT r3 item 3: flagship newton recipe ON TPU, ALL 16 pairs
+# VERDICT r3 item 3+5: flagship newton recipe ON TPU, ALL 16 pairs
 # (round 4 timed out after 5).
 cd /root/repo
 mkdir -p out/r5_material_sync_tpu

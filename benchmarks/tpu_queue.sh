@@ -17,7 +17,7 @@ if [ -n "$HOLD_PID" ]; then
   while kill -0 "$HOLD_PID" 2>/dev/null; do sleep 10; done
 fi
 probe_ok() {
-  timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready(); print('PROBE_OK')" 2>/dev/null | grep -q PROBE_OK
+  timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); v=float((x@x).sum()); print('PROBE_OK', v)" 2>/dev/null | grep -q PROBE_OK
 }
 subtree_cpu() {  # total utime+stime ticks of a process group
   local pgid=$1 total=0 st

@@ -43,8 +43,11 @@ def _log(msg):
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp;"
     "x = jnp.ones((128, 128), jnp.float32);"
-    "(x @ x).block_until_ready();"
-    "print('PROBE_OK', jax.devices()[0].platform)"
+    # the float() pull matters: a half-dead relay (2026-08-20) served
+    # pushes/compiles while device->host readbacks hung forever — a
+    # probe that never pulls green-lights a doomed run
+    "v = float((x @ x).sum());"
+    "print('PROBE_OK', v, jax.devices()[0].platform)"
 )
 
 

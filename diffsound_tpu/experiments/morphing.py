@@ -44,6 +44,7 @@ def main(argv=None):
         task = MorphingTask(
             grid_res=flags.dmtet_grid, scale=flags.mesh_scale, mat=flags.mat,
             mode_num=flags.mode_num,
+            eig_method=getattr(flags, "eig_method", "warm"),
         )
         task.apply_sdf2(
             v1 * flags.mesh_scale, f1, v2 * flags.mesh_scale, f2

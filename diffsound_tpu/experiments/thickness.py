@@ -52,6 +52,7 @@ def main(argv=None):
         task = ThicknessTask(
             grid_res=flags.dmtet_grid, scale=flags.mesh_scale, mat=flags.mat,
             mode_num=flags.mode_num,
+            eig_method=getattr(flags, "eig_method", "warm"),
         )
         task.apply_sdf(mverts * flags.mesh_scale, mfaces)
         target_coef = thickness

@@ -464,3 +464,35 @@ def test_warm_escalation_reuse_body_matches_host():
     else:
         assert task.warm.last_mode == "cold-escalated"
         assert rel.max() < 2e-4
+
+
+def test_true_loss_probe_forces_real_refresh(monkeypatch):
+    """Review finding r5-#5: under a refresh_every>1 cadence the stall
+    probe must NEVER consume a map_only basis — it exists to bypass
+    frozen-basis blindness."""
+    from diffsound_tpu.geometry.dmtet import MarchingTets
+
+    task = ThicknessTask(grid_res=4, scale=1.0, mat="Steel", mode_num=4,
+                         refresh_every=3)
+    task.warm = _CappedWarmStub()
+    called = {"map": 0, "solve": 0}
+
+    task.warm.map_only = lambda out, comp: called.__setitem__(
+        "map", called["map"] + 1) or (np.ones(4), np.ones((3, 4)))
+
+    def fake_solve(out, comp, mu, lam, host_solve):
+        called["solve"] += 1
+        return np.ones(4), np.ones((3, 4))
+
+    task.warm.solve = fake_solve
+    monkeypatch.setattr(task, "_march_coef", lambda c: None)
+    monkeypatch.setattr(MarchingTets, "compact",
+                        staticmethod(lambda out: {"keep_idx": np.zeros(1, np.int64),
+                                                  "tets": np.zeros((1, 4), np.int64),
+                                                  "tet_mask": np.ones(1),
+                                                  "num_verts": 1, "num_tets": 1}))
+    monkeypatch.setattr(task, "_coef_vals", lambda c, comp, U: np.ones(4))
+
+    task._steps_since_refresh = 0  # mid-cadence: a normal step would map
+    task._true_loss(0.5, np.ones(4))
+    assert called == {"map": 0, "solve": 1}

@@ -19,25 +19,47 @@ fi
 probe_ok() {
   timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); v=float((x@x).sum()); print('PROBE_OK', v)" 2>/dev/null | grep -q PROBE_OK
 }
-subtree_cpu() {  # total utime+stime ticks of a process group
-  local pgid=$1 total=0 st
-  for p in $(ps -eo pid=,pgid= | awk -v g="$pgid" '$2==g{print $1}'); do
+descendants() {  # pids of $1 plus all transitive children
+  # NB: cannot use the job's pgid here — GNU timeout setpgid()s itself
+  # into a fresh group, so the setsid group holds only the sleeping bash
+  # (watchdog then saw 0 CPU on a healthy job and killed the wrong
+  # group, observed 12:18 UTC).  Walk the ppid tree instead.
+  ps -eo pid=,ppid= | awk -v r="$1" '
+    {pid[NR]=$1; pp[NR]=$2}
+    END{
+      want[r]=1; changed=1
+      while(changed){changed=0
+        for(i=1;i<=NR;i++) if(!(pid[i] in want) && (pp[i] in want)){want[pid[i]]=1; changed=1}}
+      for(p in want) print p
+    }'
+}
+subtree_cpu() {  # total utime+stime ticks of a job subtree
+  local total=0 st
+  for p in $(descendants "$1"); do
     st=$(awk '{print $14+$15}' /proc/$p/stat 2>/dev/null) || continue
     total=$((total + ${st:-0}))
   done
   echo $total
 }
+kill_subtree() {  # kill every descendant pid and every pgid it leads
+  local pids pgids
+  pids=$(descendants "$1")
+  pgids=$(ps -o pgid= -p $pids 2>/dev/null | sort -u)
+  kill $pids 2>/dev/null
+  for g in $pgids; do kill -- "-$g" 2>/dev/null; done
+  sleep 5
+  kill -9 $pids 2>/dev/null
+  for g in $pgids; do kill -9 -- "-$g" 2>/dev/null; done
+}
 run_job() {  # returns 0 normally, 9 if watchdog killed it
   local job=$1
   setsid bash "$job" >> results/r5/tpu_queue.log 2>&1 &
   local jpid=$!
-  local pgid
-  pgid=$(ps -o pgid= -p $jpid | tr -d ' ')
   local stale=0 last_cpu=0 cpu
   while kill -0 $jpid 2>/dev/null; do
     sleep 60
     kill -0 $jpid 2>/dev/null || break
-    cpu=$(subtree_cpu $pgid)
+    cpu=$(subtree_cpu $jpid)
     if [ "$cpu" -le "$((last_cpu + 100))" ]; then  # <1s CPU/min: idle
       stale=$((stale + 1))
     else
@@ -45,10 +67,8 @@ run_job() {  # returns 0 normally, 9 if watchdog killed it
     fi
     last_cpu=$cpu
     if [ $stale -ge 20 ]; then
-      echo "=== $(date -u +%H:%M:%S) watchdog: $job wedged (no CPU 20 min); killing pgid $pgid ===" >> results/r5/tpu_queue.log
-      kill -- -$pgid 2>/dev/null
-      sleep 5
-      kill -9 -- -$pgid 2>/dev/null
+      echo "=== $(date -u +%H:%M:%S) watchdog: $job wedged (no CPU 20 min); killing subtree of $jpid ===" >> results/r5/tpu_queue.log
+      kill_subtree $jpid
       return 9
     fi
   done

@@ -87,16 +87,31 @@ def main(argv=None):
                         rec["iter"],
                     )
 
+                export_path = os.path.join(
+                    out_dir, f"{model_name}_{mode_num}.msh"
+                )
+                _last_export = [0.0]
+
+                def _export_best(best, path=export_path, _t=_last_export):
+                    # throttled checkpoint of the running best: a wedged
+                    # relay RPC kills the process without returning from
+                    # optimize() (lost the oloid run-1 mesh)
+                    import time as _time
+                    now = _time.monotonic()
+                    if now - _t[0] < 120.0:
+                        return
+                    _t[0] = now
+                    TetMesh(best["verts"], best["tets"]).export(path + ".part")
+                    os.replace(path + ".part", path)
+
                 params, best, hist = task.optimize(
                     params, gt_vals, Q * size, sd,
                     iters=flags.iter, lr=flags.learning_rate,
                     time_budget_s=getattr(flags, "time_budget_s", None),
-                    on_iter=_stream,
+                    on_iter=_stream, on_best=_export_best,
                 )
                 if best.get("verts") is not None:
-                    TetMesh(best["verts"], best["tets"]).export(
-                        os.path.join(out_dir, f"{model_name}_{mode_num}.msh")
-                    )
+                    TetMesh(best["verts"], best["tets"]).export(export_path)
                 print(f"best eig loss: {best.get('eig_loss')}")
 
 

@@ -236,14 +236,21 @@ class GeometryTask:
 
     def optimize(self, params, target, query_points, signed_distance,
                  iters: int = 1000, lr: float = 1e-5, margin: float = 0.0,
-                 verbose: bool = True, on_iter=None, time_budget_s=None):
+                 verbose: bool = True, on_iter=None, time_budget_s=None,
+                 on_best=None):
         """on_iter(rec): called per iteration with the metric record —
         stream metrics so a crash/kill keeps the history (same post-
         mortem as the joint task's round-2 empty evidence files).
 
         time_budget_s: optional wall-clock deadline — the loop exits
         cleanly when exceeded so the caller still gets the best mesh and
-        full history (a hard kill would lose the export)."""
+        full history (a hard kill would lose the export).
+
+        on_best(best): called whenever the best mesh improves (after the
+        compaction pull, so best["verts"]/["tets"] are host arrays) — a
+        relay wedge mid-run kills the process without unwinding the
+        loop, so callers that only export after optimize() returns lose
+        the mesh (observed: round-5 oloid run 1)."""
         import time as _time
 
         t_start = _time.perf_counter()
@@ -276,6 +283,8 @@ class GeometryTask:
                 tc = comp["tets"][: comp["num_tets"]]
                 best = {"loss": float(loss), "verts": vc, "tets": tc,
                         "eig_loss": float(eig_l)}
+                if on_best is not None:
+                    on_best(best)
             if verbose and it % 10 == 0:
                 print(f"iter {it}: loss {float(loss):.6f} "
                       f"(template {float(tmpl):.6f}, eig {float(eig_l):.6f}) "

@@ -84,8 +84,13 @@ def test_geometry_optimization_reduces_eig_loss():
 
     # constraint from the *target* (as in the reference: coarse voxel of GT)
     sd_tgt = 0.30 - np.linalg.norm(q, axis=1)
+    best_calls = []
     params, best, hist = task.optimize(
-        params, gt_vals, q, sd_tgt, iters=8, lr=3e-4, verbose=False
+        params, gt_vals, q, sd_tgt, iters=8, lr=3e-4, verbose=False,
+        on_best=lambda b: best_calls.append(np.asarray(b["verts"]).shape),
     )
     assert len(hist) >= 6
     assert hist[-1]["eig"] < hist[0]["eig"], hist
+    # the improvement hook fired (iteration 0 always improves on inf)
+    # with host-compacted vertex arrays
+    assert best_calls and best_calls[0][1] == 3

@@ -177,11 +177,21 @@ class MaterialSyncTask:
 
         # gt/forces are jit *arguments*: as closure constants XLA would
         # constant-fold their spectrograms through the (glacial)
-        # interpreting evaluator at compile time
-        def loss_with(loss_fn, params, cache, gt, fz):
+        # interpreting evaluator at compile time.  The target-side
+        # spectrogram tensors are precomputed ONCE (XLA does not hoist
+        # them out of the scanned step bodies past the FFT fusions) and
+        # threaded through as a pytree jit argument.
+        tc_early = (
+            None if early_loss_type == "freq_chamfer"
+            else jax.jit(early_loss.target_cache)(gt_audio)
+        )
+        tc_late = jax.jit(late_loss.target_cache)(gt_audio)
+        tc_rmse = jax.jit(rmse_loss.target_cache)(gt_audio)
+
+        def loss_with(loss_fn, params, cache, tc, fz):
             freqs = model.get_undamped_freqs_cached(params, cache)
             sig, damped = osc(freqs, fz, dtype=self.dtype)
-            return loss_fn(sig, gt, damped, 1.0)
+            return loss_fn(sig, None, damped, 1.0, target_cache=tc)
 
         def chamfer_of(params, cache):
             from ..audio.freq_loss import freq_chamfer_loss
@@ -189,15 +199,15 @@ class MaterialSyncTask:
             freqs = model.get_undamped_freqs_cached(params, cache)
             return freq_chamfer_loss(freqs, peaks, wts, self.sample_rate)
 
-        def early_loss_fn(params, cache, gt, fz):
+        def early_loss_fn(params, cache, tc, fz):
             if early_loss_type == "freq_chamfer":
                 # pure frequency matching: no synthesis, no STFT — smooth
                 # and ~100x cheaper than the Sinkhorn recipe
                 return chamfer_of(params, cache)
-            return loss_with(early_loss, params, cache, gt, fz)
+            return loss_with(early_loss, params, cache, tc, fz)
 
-        def late_loss_fn(params, cache, gt, fz):
-            l1 = loss_with(late_loss, params, cache, gt, fz)
+        def late_loss_fn(params, cache, tc, fz):
+            l1 = loss_with(late_loss, params, cache, tc, fz)
             if early_loss_type == "freq_chamfer" and late_freq_weight > 0:
                 return l1 + late_freq_weight * chamfer_of(params, cache)
             return l1
@@ -283,8 +293,9 @@ class MaterialSyncTask:
             log_epoch = epoch  # loop logged; its loss is losses[0]
             n = next_boundary(epoch) - epoch
             step_fn = step_early if epoch < early_loss_epoch else step_late
+            tc = tc_early if epoch < early_loss_epoch else tc_late
             params, opt_state, losses = step_fn(
-                params, opt_state, cache, gt_audio, forces, n
+                params, opt_state, cache, tc, forces, n
             )
             epoch += n
 
@@ -297,7 +308,7 @@ class MaterialSyncTask:
                 loss = losses[0]
                 youngs = float(model.bins.youngs(params))
                 poisson = float(model.bins.poisson(params))
-                rmse = float(rmse_eval(params, cache, gt_audio, forces))
+                rmse = float(rmse_eval(params, cache, tc_rmse, forces))
                 rec = {
                     "loss": float(loss), "rmse": rmse, "youngs": youngs,
                     "poisson": poisson, "epoch": log_epoch,
@@ -326,7 +337,7 @@ class MaterialSyncTask:
             "params": params,
             "youngs": float(model.bins.youngs(params)),
             "poisson": float(model.bins.poisson(params)),
-            "rmse": float(rmse_eval(params, cache, gt_audio, forces)),
+            "rmse": float(rmse_eval(params, cache, tc_rmse, forces)),
             "history": history,
             "wall_s": wall,
             "iters_per_sec": max_epoch / wall,

@@ -160,6 +160,31 @@ class TestMSSLoss:
         loss = MSSLoss([256], 32000.0, loss_type="rmse_loss")
         assert float(loss(x, x)) == 0.0
 
+    def test_target_cache_parity(self):
+        """Precomputed target-side tensors give bit-identical losses for
+        every loss type (the cache runs the SAME ops, just hoisted out of
+        the training scan)."""
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((1, 2000)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal((1, 2000)).astype(np.float32))
+        freqs = jnp.asarray([[1500.0]], jnp.float32)
+        for lt, fr in (("l1_loss", None), ("rmse_loss", None),
+                       ("geomloss", freqs)):
+            loss = MSSLoss([512, 256], 32000.0, loss_type=lt)
+            tc = loss.target_cache(y)
+            a = float(loss(x, y, freqs=fr))
+            b = float(loss(x, None, freqs=fr, target_cache=tc))
+            assert a == b, (lt, a, b)
+        # and through value_and_grad inside jit (the hot-loop shape)
+        loss = MSSLoss([512, 256], 32000.0, loss_type="l1_loss")
+        tc = loss.target_cache(y)
+        g1 = jax.grad(lambda p: loss(p, y))(x)
+        g2 = jax.jit(jax.grad(lambda p, t: loss(p, None, target_cache=t)))(x, tc)
+        # not bitwise: jit fuses/reassociates differently than eager
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6
+        )
+
     def test_spec_to_points_freq_injection(self):
         spec = jnp.ones((1, 128, 10))
         pts_plain = spec_to_points(spec)
